@@ -1,0 +1,119 @@
+"""Array-form town map assets.
+
+This module replaces the reference's entire OpenDrive/CARLA map stack
+(/root/reference/oatomobile/utils/graphics.py:430-711 rasterization,
+``world.get_map().get_spawn_points()``, waypoint queries, and the
+``GlobalRoutePlanner`` A* of utils/carla.py:703-744) with precomputed
+dense arrays, so that *every* map query in the hot loop is a gather:
+
+  - lane-graph waypoints (positions, headings, successor table),
+  - nearest-waypoint raster (O(1) localisation),
+  - road / lane-boundary occupancy rasters (lane invasion + BEV synthesis),
+  - spawn points, traffic lights with phase groups.
+
+Town geometry is generated procedurally (see :mod:`towns`): CARLA's
+OpenDrive files are not redistributable and the CARLA binary is not part of
+this framework; what matters for API/behaviour parity is the *structure*
+(waypoint graph + rasters + spawn indices) that all downstream components
+consume.
+"""
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+# Maximum successors per waypoint (straight / left / right at a junction).
+MAX_NEXT = 4
+
+
+@dataclasses.dataclass
+class TownMap:
+  """Host-side (numpy) array-form map. Converted to device arrays once per
+  environment via :meth:`device_arrays`."""
+
+  name: str
+  lane_width: float
+
+  # --- Lane graph -----------------------------------------------------
+  wp_xy: np.ndarray         # [W, 2] f32 lane-centerline points (~2 m apart)
+  wp_yaw: np.ndarray        # [W]    f32 radians, direction of travel
+  wp_next: np.ndarray       # [W, MAX_NEXT] i32 successor ids (-1 padded)
+  wp_num_next: np.ndarray   # [W]    i32
+  wp_road_id: np.ndarray    # [W]    i32 street id (junction connectors: own)
+  wp_lane_id: np.ndarray    # [W]    i32 signed lane id (CARLA-style)
+  wp_is_junction: np.ndarray  # [W]  bool
+  wp_speed_limit: np.ndarray  # [W]  f32 m/s
+  wp_tl: np.ndarray         # [W]    i32 traffic light governing wp (-1 none)
+
+  # --- Spawn points ----------------------------------------------------
+  spawn_wp: np.ndarray      # [S] i32 waypoint index per spawn point
+
+  # --- Traffic lights --------------------------------------------------
+  tl_xy: np.ndarray         # [L, 2] f32
+  tl_group: np.ndarray      # [L] i32 phase group (0 or 1) within junction
+  tl_offset: np.ndarray     # [L] f32 per-junction phase offset (seconds)
+
+  # --- Rasters ----------------------------------------------------------
+  raster_origin: np.ndarray  # [2] world xy of pixel (0, 0) center
+  raster_ppm: float          # pixels per meter
+  road_mask: np.ndarray      # [H, Wd] bool drivable area
+  lane_mask: np.ndarray      # [H, Wd] bool lane boundary lines
+  obstacle_mask: np.ndarray  # [H, Wd] bool static obstacles (buildings)
+  nearest_wp: np.ndarray     # [H, Wd] i32 nearest waypoint id per cell
+
+  _device: Optional[dict] = dataclasses.field(default=None, repr=False)
+
+  @property
+  def num_waypoints(self) -> int:
+    return int(self.wp_xy.shape[0])
+
+  @property
+  def num_spawn_points(self) -> int:
+    return int(self.spawn_wp.shape[0])
+
+  def spawn_transform(self, index: int):
+    """Returns (location_xyz, rotation_pyr_deg) of a spawn point, mirroring
+    ``carla.Transform`` observables."""
+    wp = int(self.spawn_wp[index % self.num_spawn_points])
+    x, y = self.wp_xy[wp]
+    yaw_deg = float(np.rad2deg(self.wp_yaw[wp]))
+    return (np.array([x, y, 0.0], dtype=np.float32),
+            np.array([0.0, yaw_deg, 0.0], dtype=np.float32))
+
+  def world_to_pixel(self, xy: np.ndarray) -> np.ndarray:
+    """World xy -> integer raster indices (row=x, col=y layout)."""
+    rel = (np.asarray(xy) - self.raster_origin) * self.raster_ppm
+    idx = np.round(rel).astype(np.int32)
+    h, w = self.road_mask.shape
+    return np.stack(
+        [np.clip(idx[..., 0], 0, h - 1),
+         np.clip(idx[..., 1], 0, w - 1)], axis=-1)
+
+  def device_arrays(self) -> dict:
+    """Returns (and caches) the jnp pytree of map arrays used in-graph."""
+    if self._device is None:
+      import jax.numpy as jnp
+      self._device = dict(
+          wp_xy=jnp.asarray(self.wp_xy, dtype=jnp.float32),
+          wp_yaw=jnp.asarray(self.wp_yaw, dtype=jnp.float32),
+          wp_next=jnp.asarray(self.wp_next, dtype=jnp.int32),
+          wp_num_next=jnp.asarray(self.wp_num_next, dtype=jnp.int32),
+          wp_road_id=jnp.asarray(self.wp_road_id, dtype=jnp.int32),
+          wp_lane_id=jnp.asarray(self.wp_lane_id, dtype=jnp.int32),
+          wp_is_junction=jnp.asarray(self.wp_is_junction),
+          wp_speed_limit=jnp.asarray(self.wp_speed_limit, dtype=jnp.float32),
+          wp_tl=jnp.asarray(self.wp_tl, dtype=jnp.int32),
+          spawn_wp=jnp.asarray(self.spawn_wp, dtype=jnp.int32),
+          tl_xy=jnp.asarray(self.tl_xy, dtype=jnp.float32),
+          tl_group=jnp.asarray(self.tl_group, dtype=jnp.int32),
+          tl_offset=jnp.asarray(self.tl_offset, dtype=jnp.float32),
+          raster_origin=jnp.asarray(self.raster_origin, dtype=jnp.float32),
+          raster_ppm=jnp.float32(self.raster_ppm),
+          road_mask=jnp.asarray(self.road_mask),
+          lane_mask=jnp.asarray(self.lane_mask),
+          obstacle_mask=jnp.asarray(self.obstacle_mask),
+          nearest_wp=jnp.asarray(self.nearest_wp, dtype=jnp.int32),
+          lane_width=jnp.float32(self.lane_width),
+      )
+    return self._device
