@@ -1,0 +1,108 @@
+"""In-graph autopilot expert.
+
+Reimplements the reference's ``AutopilotAgent`` decision logic
+(/root/reference/oatomobile/baselines/rulebased/autopilot/agent.py:100-304)
+as a pure function suitable for use inside `lax.scan`:
+
+  - hazard stop: vehicle ahead in the same road+lane within 10 m
+    (`_is_vehicle_hazard`, agent.py:185-224) or a governing red light within
+    5 m (`_is_light_red_europe_style`, agent.py:244-265)  -> full brake;
+  - otherwise waypoint following along the precomputed route with the
+    reference PID gains (LocalPlanner semantics, agent.py:87-93) towards
+    TARGET_SPEED = 20 km/h (simulators/carla/defaults.py:185);
+  - epsilon-noise: random action with probability `noise` (agent.py:109-115).
+
+It doubles as the data-collection expert and the traffic policy oracle.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from oatomobile_tpu.sim import dynamics, traffic
+from oatomobile_tpu.sim.types import SceneState, WorldParams
+
+TARGET_SPEED_MPS = 20.0 / 3.6  # defaults.py:185 is in km/h.
+LOOKAHEAD = 2  # route points ahead used as the steering target (~4 m).
+
+
+def _vehicle_hazard(params: WorldParams, state: SceneState) -> jnp.ndarray:
+  """True when an alive NPC blocks the hero: same road & lane and within
+  the proximity threshold, ahead of the hero (|bearing| < 90 deg)."""
+  if state.num_npcs == 0:
+    return jnp.asarray(False)
+  hero_road = params.map["wp_road_id"][state.hero_wp]
+  hero_lane = params.map["wp_lane_id"][state.hero_wp]
+  npc_wp_near = state.npc_wp
+  npc_road = params.map["wp_road_id"][npc_wp_near]
+  npc_lane = params.map["wp_lane_id"][npc_wp_near]
+  same = (npc_road == hero_road) & (npc_lane == hero_lane)
+
+  rel = state.npc_xy - state.hero_xy[None, :]
+  dist = jnp.linalg.norm(rel, axis=-1)
+  fwd = (jnp.cos(state.hero_yaw) * rel[..., 0] +
+         jnp.sin(state.hero_yaw) * rel[..., 1])
+  ahead = fwd > 0.0  # is_within_distance_ahead: angle < 90 deg.
+  near = dist < params.proximity_vehicle_threshold
+  return jnp.any(same & ahead & near & state.npc_alive)
+
+
+def _red_light_hazard(params: WorldParams, state: SceneState,
+                      tl_states: jnp.ndarray) -> jnp.ndarray:
+  """True when the hero's waypoint is governed by a non-green light within
+  the light proximity threshold (EU-style stop-at-line)."""
+  governed, tl_state = traffic.light_for_waypoint(params, state.hero_wp,
+                                                  tl_states)
+  num_lights = tl_states.shape[0]
+  if num_lights == 0:
+    return jnp.asarray(False)
+  tl_id = jnp.clip(params.map["wp_tl"][state.hero_wp], 0, num_lights - 1)
+  tl_pos = params.map["tl_xy"][tl_id]
+  dist = jnp.linalg.norm(tl_pos - state.hero_xy)
+  near = dist < 3.0 * params.proximity_tlight_threshold
+  return governed & near & (tl_state == traffic.TL_RED)
+
+
+def autopilot_policy(
+    params: WorldParams,
+    state: SceneState,
+    *,
+    noise: float = 0.0,
+    target_speed: float = TARGET_SPEED_MPS,
+) -> Tuple[jnp.ndarray, SceneState]:
+  """Returns (action [3], state with updated PID + RNG)."""
+  rng, rng_noise, rng_action = jax.random.split(state.rng, 3)
+
+  tl_states = traffic.traffic_light_states(params, state.time)
+  hazard = _vehicle_hazard(params, state) | _red_light_hazard(
+      params, state, tl_states)
+
+  # Steering target: a route point slightly ahead of current progress.
+  target_idx = jnp.clip(state.route_pos + LOOKAHEAD, 0, state.route_len - 1)
+  target_xy = params.map["wp_xy"][state.route[target_idx]]
+
+  steer, pid_lat = dynamics.lateral_control(state.pid_lat, state.hero_xy,
+                                            state.hero_yaw, target_xy,
+                                            params.dt)
+  throttle, pid_lon = dynamics.longitudinal_control(state.pid_lon,
+                                                    state.hero_speed,
+                                                    jnp.float32(target_speed),
+                                                    params.dt)
+
+  action = jnp.where(hazard, jnp.asarray([0.0, 0.0, 1.0]),
+                     jnp.stack([throttle, steer, jnp.float32(0.0)]))
+
+  if noise > 0.0:
+    # Epsilon-noise: uniform sample from the action space.
+    random_action = jnp.stack([
+        jax.random.uniform(rng_action, minval=0.0, maxval=1.0),
+        jax.random.uniform(jax.random.fold_in(rng_action, 1), minval=-1.0,
+                           maxval=1.0),
+        jax.random.uniform(jax.random.fold_in(rng_action, 2), minval=0.0,
+                           maxval=1.0),
+    ])
+    take_random = jax.random.uniform(rng_noise) < noise
+    action = jnp.where(take_random, random_action, action)
+
+  return action, state.replace(pid_lat=pid_lat, pid_lon=pid_lon, rng=rng)

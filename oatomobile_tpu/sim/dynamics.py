@@ -1,0 +1,105 @@
+"""Vehicle dynamics and controllers — pure jax, shape-polymorphic.
+
+Replaces CARLA's UE4 physics (external, /root/reference/oatomobile/utils/
+carla.py:85-98 spawns the server) with a kinematic bicycle model, and
+CARLA's ``VehiclePIDController`` (consumed at /root/reference/oatomobile/
+baselines/base.py:96-100 and the LocalPlanner inside autopilot/agent.py:87)
+with in-graph PID controllers using the reference gains
+(baselines/base.py:32-43).
+"""
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from oatomobile_tpu.sim.types import PIDState, VehicleSpec
+
+# Reference PID gains (baselines/base.py:32-43).
+LATERAL_PID = {"K_P": 1.95, "K_D": 0.01, "K_I": 1.4}
+LONGITUDINAL_PID = {"K_P": 1.0, "K_D": 0.0, "K_I": 1.0}
+# Integral windup clamp: CARLA buffers the last 30 errors; a clamped
+# integral approximates the same bounded memory.
+PID_WINDUP = 10.0
+
+
+def bicycle_step(
+    xy: jnp.ndarray,
+    yaw: jnp.ndarray,
+    speed: jnp.ndarray,
+    throttle: jnp.ndarray,
+    steer: jnp.ndarray,
+    brake: jnp.ndarray,
+    spec: VehicleSpec,
+    dt: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+  """One kinematic-bicycle integration step.
+
+  Works elementwise over any leading batch shape (hero: scalars, NPCs: [K]).
+
+  Returns:
+    (new_xy, new_yaw, new_speed).
+  """
+  throttle = jnp.clip(throttle, 0.0, 1.0)
+  steer = jnp.clip(steer, -1.0, 1.0)
+  brake = jnp.clip(brake, 0.0, 1.0)
+
+  accel = (throttle * spec.max_accel - brake * spec.max_brake -
+           spec.drag * speed * speed -
+           jnp.where(speed > 0.0, spec.roll, 0.0))
+  new_speed = jnp.maximum(speed + dt * accel, 0.0)
+
+  wheel = steer * spec.max_steer_rad
+  yaw_rate = new_speed / spec.wheelbase * jnp.tan(wheel)
+  new_yaw = yaw + dt * yaw_rate
+  # Midpoint heading keeps circular arcs honest at 20 Hz.
+  mid = 0.5 * (yaw + new_yaw)
+  heading = jnp.stack([jnp.cos(mid), jnp.sin(mid)], axis=-1)
+  new_xy = xy + (dt * new_speed)[..., None] * heading
+  return new_xy, new_yaw, new_speed
+
+
+def pid_update(state: PIDState, error: jnp.ndarray, dt: jnp.ndarray,
+               k_p: float, k_d: float, k_i: float) -> Tuple[jnp.ndarray,
+                                                            PIDState]:
+  """Single PID update with clamped integral (anti-windup)."""
+  derivative = (error - state.prev_error) / dt
+  integral = jnp.clip(state.integral + error * dt, -PID_WINDUP, PID_WINDUP)
+  out = k_p * error + k_d * derivative + k_i * integral
+  return out, PIDState(integral=integral, prev_error=error)
+
+
+def longitudinal_control(state: PIDState, current_speed: jnp.ndarray,
+                         target_speed: jnp.ndarray,
+                         dt: jnp.ndarray) -> Tuple[jnp.ndarray, PIDState]:
+  """Throttle from speed error.  CARLA's PIDLongitudinalController operates
+  in km/h and clips output to [0, 1] (throttle only, no brake)."""
+  error = (target_speed - current_speed) * 3.6
+  out, new_state = pid_update(state, error, dt, **{
+      "k_p": LONGITUDINAL_PID["K_P"],
+      "k_d": LONGITUDINAL_PID["K_D"],
+      "k_i": LONGITUDINAL_PID["K_I"],
+  })
+  return jnp.clip(out, 0.0, 1.0), new_state
+
+
+def lateral_control(state: PIDState, xy: jnp.ndarray, yaw: jnp.ndarray,
+                    target_xy: jnp.ndarray,
+                    dt: jnp.ndarray) -> Tuple[jnp.ndarray, PIDState]:
+  """Steering from the signed angle between the heading and the ray to the
+  target waypoint (CARLA PIDLateralController semantics)."""
+  forward = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)
+  to_target = target_xy - xy
+  norm = jnp.linalg.norm(to_target, axis=-1) + 1e-6
+  cos_a = jnp.clip(
+      jnp.sum(forward * to_target, axis=-1) / norm, -1.0, 1.0)
+  angle = jnp.arccos(cos_a)
+  # Sign from the 2D cross product (positive -> target to the right).
+  cross = forward[..., 0] * to_target[..., 1] - forward[..., 1] * to_target[
+      ..., 0]
+  error = jnp.where(cross < 0.0, -angle, angle)
+  out, new_state = pid_update(state, error, dt, **{
+      "k_p": LATERAL_PID["K_P"],
+      "k_d": LATERAL_PID["K_D"],
+      "k_i": LATERAL_PID["K_I"],
+  })
+  return jnp.clip(out, -1.0, 1.0), new_state

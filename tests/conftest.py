@@ -1,17 +1,19 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax is imported anywhere in the test process.
+The container pins ``JAX_PLATFORMS=axon`` (a tunneled real TPU) and a
+sitecustomize hook re-registers the axon plugin in every process, so env
+vars alone do not stick — the platform must be forced via jax.config after
+import.  ``JAX_NUM_CPU_DEVICES`` must be set before the backend initialises.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-  os.environ["XLA_FLAGS"] = (
-      flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_NUM_CPU_DEVICES"] = "8"
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402  (import after env setup, on purpose)
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
