@@ -60,6 +60,7 @@ class TownMap:
   road_mask: np.ndarray      # [H, Wd] bool drivable area
   lane_mask: np.ndarray      # [H, Wd] bool lane boundary lines
   obstacle_mask: np.ndarray  # [H, Wd] bool static obstacles (buildings)
+  wall_mask: np.ndarray      # [H, Wd] bool street-facing building walls
   nearest_wp: np.ndarray     # [H, Wd] i32 nearest waypoint id per cell
 
   _device: Optional[dict] = dataclasses.field(default=None, repr=False)
@@ -113,6 +114,7 @@ class TownMap:
           road_mask=jnp.asarray(self.road_mask),
           lane_mask=jnp.asarray(self.lane_mask),
           obstacle_mask=jnp.asarray(self.obstacle_mask),
+          wall_mask=jnp.asarray(self.wall_mask),
           nearest_wp=jnp.asarray(self.nearest_wp, dtype=jnp.int32),
           lane_width=jnp.float32(self.lane_width),
       )

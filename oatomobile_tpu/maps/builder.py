@@ -329,6 +329,10 @@ def build_grid_town(name: str, xs: Sequence[float],
   lane &= road
 
   obstacle = near_road_dist > SIDEWALK  # buildings beyond the sidewalk
+  # Street-facing building walls: the only static surfaces a LIDAR sees
+  # (interiors are occluded).  Used by the BEV splat; collisions use the
+  # solid mask.
+  wall = obstacle & (near_road_dist <= SIDEWALK + 1.5)
 
   # Nearest-waypoint raster (localisation gather).
   from scipy.spatial import cKDTree
@@ -359,5 +363,6 @@ def build_grid_town(name: str, xs: Sequence[float],
       road_mask=road,
       lane_mask=lane,
       obstacle_mask=obstacle,
+      wall_mask=wall,
       nearest_wp=nearest,
   )
