@@ -63,6 +63,12 @@ class TownMap:
   wall_mask: np.ndarray      # [H, Wd] bool street-facing building walls
   nearest_wp: np.ndarray     # [H, Wd] i32 nearest waypoint id per cell
 
+  # Static geometry as axis-aligned rects (cx, cy, hx, hy) — the TPU hot
+  # path uses these instead of raster gathers (random 1-element HBM loads
+  # are pathological on TPU):
+  wall_rects: np.ndarray = None     # [Rw, 4] street-facing wall bands
+  block_rects: np.ndarray = None    # [Rb, 4] solid building blocks
+
   _device: Optional[dict] = dataclasses.field(default=None, repr=False)
 
   @property
@@ -115,6 +121,8 @@ class TownMap:
           lane_mask=jnp.asarray(self.lane_mask),
           obstacle_mask=jnp.asarray(self.obstacle_mask),
           wall_mask=jnp.asarray(self.wall_mask),
+          wall_rects=jnp.asarray(self.wall_rects, dtype=jnp.float32),
+          block_rects=jnp.asarray(self.block_rects, dtype=jnp.float32),
           nearest_wp=jnp.asarray(self.nearest_wp, dtype=jnp.int32),
           lane_width=jnp.float32(self.lane_width),
       )

@@ -334,6 +334,48 @@ def build_grid_town(name: str, xs: Sequence[float],
   # solid mask.
   wall = obstacle & (near_road_dist <= SIDEWALK + 1.5)
 
+  # ---- 5b. Static geometry as rectangles (TPU hot path) -----------------
+  # Per-pixel raster gathers are pathological on TPU (40k random 1-element
+  # HBM loads per scene per step); the same geometry as a handful of
+  # axis-aligned rectangles turns the BEV splat and static-collision tests
+  # into pure elementwise box tests.  Rect format: (cx, cy, hx, hy).
+  clear = half_road + SIDEWALK        # obstacle-free corridor half-width
+  wall_thick = 1.5
+  wall_rects: List[np.ndarray] = []
+  for j, y0 in enumerate(ys):          # walls along horizontal streets
+    for i in range(len(xs) - 1):
+      xa, xb = xs[i] + clear, xs[i + 1] - clear
+      if xb <= xa:
+        continue
+      cx, hx = (xa + xb) / 2, (xb - xa) / 2
+      for side in (+1, -1):
+        cy = y0 + side * (clear + wall_thick / 2)
+        wall_rects.append(np.array([cx, cy, hx, wall_thick / 2]))
+  for i, x0 in enumerate(xs):          # walls along vertical streets
+    for j in range(len(ys) - 1):
+      ya, yb = ys[j] + clear, ys[j + 1] - clear
+      if yb <= ya:
+        continue
+      cy, hy = (ya + yb) / 2, (yb - ya) / 2
+      for side in (+1, -1):
+        cx = x0 + side * (clear + wall_thick / 2)
+        wall_rects.append(np.array([cx, cy, wall_thick / 2, hy]))
+
+  block_rects: List[np.ndarray] = []   # solid obstacle regions
+  xs_ext = np.concatenate([[xs[0] - 2 * pad - 100], xs,
+                           [xs[-1] + 2 * pad + 100]])
+  ys_ext = np.concatenate([[ys[0] - 2 * pad - 100], ys,
+                           [ys[-1] + 2 * pad + 100]])
+  for i in range(len(xs_ext) - 1):
+    for j in range(len(ys_ext) - 1):
+      xa, xb = xs_ext[i] + clear, xs_ext[i + 1] - clear
+      ya, yb = ys_ext[j] + clear, ys_ext[j + 1] - clear
+      if xb <= xa or yb <= ya:
+        continue
+      block_rects.append(
+          np.array([(xa + xb) / 2, (ya + yb) / 2, (xb - xa) / 2,
+                    (yb - ya) / 2]))
+
   # Nearest-waypoint raster (localisation gather).
   from scipy.spatial import cKDTree
   tree = cKDTree(wp_xy)
@@ -365,4 +407,6 @@ def build_grid_town(name: str, xs: Sequence[float],
       obstacle_mask=obstacle,
       wall_mask=wall,
       nearest_wp=nearest,
+      wall_rects=np.asarray(wall_rects, dtype=np.float32),
+      block_rects=np.asarray(block_rects, dtype=np.float32),
   )

@@ -52,6 +52,9 @@ _PTS_PER_CHANNEL = LIDAR_PPS // (LIDAR_ROT_HZ * LIDAR_CHANNELS)  # 312
 # the 50 m range never contribute.
 MAX_BEV_VEHICLES = 16
 MAX_BEV_PEDESTRIANS = 16
+# Static geometry rect budgets (nearest-first by point-to-rect distance).
+MAX_BEV_WALLS = 24
+MAX_BEV_BLOCKS = 12
 
 
 def _pixel_centers() -> np.ndarray:
@@ -147,6 +150,35 @@ def _nearest_k(xy_rel: jnp.ndarray, alive: jnp.ndarray, k: int):
   return idx
 
 
+def nearest_rects(rects: jnp.ndarray, point: jnp.ndarray,
+                  k: int) -> jnp.ndarray:
+  """[k, 4] axis-aligned rects nearest to ``point`` by point-to-rect
+  distance (so 80 m wall strips right next to the hero are selected even
+  though their centers are far).  Far selections are pushed out of range
+  so padded slots never rasterise."""
+  dx = jnp.maximum(jnp.abs(point[0] - rects[:, 0]) - rects[:, 2], 0.0)
+  dy = jnp.maximum(jnp.abs(point[1] - rects[:, 1]) - rects[:, 3], 0.0)
+  d = jnp.sqrt(dx * dx + dy * dy)
+  k = min(k, rects.shape[0])
+  neg_d, idx = jax.lax.top_k(-d, k)
+  sel = rects[idx]
+  # Invalidate selections entirely out of LIDAR range.
+  valid = (-neg_d) <= (METERS_MAX * 1.5)
+  return jnp.where(valid[:, None], sel,
+                   jnp.full_like(sel, -1e6).at[:, 2:].set(0.0))
+
+
+def rects_occupancy(grid_world: jnp.ndarray,
+                    rects: jnp.ndarray) -> jnp.ndarray:
+  """[H, W] bool: grid points inside any axis-aligned rect (elementwise —
+  no gathers, TPU-friendly)."""
+  inside = ((jnp.abs(grid_world[..., 0, None] - rects[None, None, :, 0]) <=
+             rects[None, None, :, 2]) &
+            (jnp.abs(grid_world[..., 1, None] - rects[None, None, :, 1]) <=
+             rects[None, None, :, 3]))
+  return jnp.any(inside, axis=-1)
+
+
 def splat_lidar(params, state) -> jnp.ndarray:
   """Synthesises the [200, 200, 2] BEV LIDAR histogram for one scene.
 
@@ -157,17 +189,15 @@ def splat_lidar(params, state) -> jnp.ndarray:
   hero_xy, hero_yaw = state.hero_xy, state.hero_yaw
   grid_world = _hero_frame_grid(hero_xy, hero_yaw)
 
-  # -- Building walls: the only static surfaces a LIDAR returns from. -----
-  origin = params.map["raster_origin"]
-  ppm = params.map["raster_ppm"]
-  mask = params.map["wall_mask"]
-  H, W = mask.shape
-  idx = jnp.round((grid_world - origin) * ppm).astype(jnp.int32)
-  ix = jnp.clip(idx[..., 0], 0, H - 1)
-  iy = jnp.clip(idx[..., 1], 0, W - 1)
-  buildings = mask[ix, iy]
+  # -- Building walls: the only static surfaces a LIDAR returns from.
+  # Rect tests, not raster gathers: 40k random 1-element HBM loads per
+  # scene per step would serialise on TPU.
+  wall_sel = nearest_rects(params.map["wall_rects"], hero_xy, MAX_BEV_WALLS)
+  buildings = rects_occupancy(grid_world, wall_sel)
   # Solid obstacle interiors: no ground returns there (occluded).
-  solid = params.map["obstacle_mask"][ix, iy]
+  block_sel = nearest_rects(params.map["block_rects"], hero_xy,
+                            MAX_BEV_BLOCKS)
+  solid = rects_occupancy(grid_world, block_sel)
 
   # -- Vehicle boxes (nearest MAX_BEV_VEHICLES only). ----------------------
   occupied = buildings

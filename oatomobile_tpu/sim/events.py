@@ -10,6 +10,7 @@ corruption hazard at simulator.py:154-158 is gone by construction).
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from oatomobile_tpu.sim.types import SceneState, WorldParams
@@ -100,8 +101,20 @@ def detect_collision(params: WorldParams, state: SceneState,
     impulse = jnp.maximum(
         impulse, jnp.max(jnp.where(hit, 400.0 * (new_speed + 1.0), 0.0)))
 
+  # Static collision: hero corners inside any nearby building block rect
+  # (exact, gather-free — see maps/builder.py block_rects).
   corners = hero_corners(params, new_xy, new_yaw)
-  static_hit = jnp.any(_sample_mask(params, "obstacle_mask", corners))
+  blocks = params.map["block_rects"]
+  dxc = jnp.maximum(jnp.abs(new_xy[0] - blocks[:, 0]) - blocks[:, 2], 0.0)
+  dyc = jnp.maximum(jnp.abs(new_xy[1] - blocks[:, 1]) - blocks[:, 3], 0.0)
+  _, near = jax.lax.top_k(-(dxc * dxc + dyc * dyc),
+                          min(8, blocks.shape[0]))
+  near_blocks = blocks[near]
+  inside = ((jnp.abs(corners[:, 0, None] - near_blocks[None, :, 0]) <=
+             near_blocks[None, :, 2]) &
+            (jnp.abs(corners[:, 1, None] - near_blocks[None, :, 1]) <=
+             near_blocks[None, :, 3]))
+  static_hit = jnp.any(inside)
   impulse = jnp.maximum(
       impulse, jnp.where(static_hit, 400.0 * (new_speed + 1.0), 0.0))
   return impulse

@@ -14,6 +14,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402  (import after env setup, on purpose)
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 
