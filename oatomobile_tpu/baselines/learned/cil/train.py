@@ -1,0 +1,134 @@
+"""Trains the behavioural cloning model on expert demonstrations.
+
+Parity: /root/reference/oatomobile/baselines/torch/cil/train.py:100-288 —
+L1 loss on the downsampled player_future (train_step:168-190), Adam lr
+1e-3, batch 512, mode labels, checkpoints every 4 epochs.
+
+Run:  python -m oatomobile_tpu.baselines.learned.cil.train \
+          --dataset_dir ... --output_dir ... --num_epochs 20
+"""
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from oatomobile_tpu.datasets.carla import CARLADataset
+from oatomobile_tpu.models.cil import BehaviouralModel
+from oatomobile_tpu.parallel import dp, mesh as mesh_lib
+from oatomobile_tpu.utils.checkpoint import Checkpointer
+from oatomobile_tpu.utils.loggers import JSONLLogger, TerminalLogger
+
+MODALITIES = (
+    "lidar",
+    "is_at_traffic_light",
+    "traffic_light_state",
+    "player_future",
+    "velocity",
+)
+
+
+def make_context(model: BehaviouralModel, batch):
+  sample = model.transform({k: jnp.asarray(v) for k, v in batch.items()})
+  context = {
+      "visual_features": sample["visual_features"],
+      "velocity": sample["velocity"],
+      "is_at_traffic_light": sample["is_at_traffic_light"],
+      "traffic_light_state": sample["traffic_light_state"],
+      "mode": sample["mode"],
+  }
+  for key in ("is_at_traffic_light", "traffic_light_state", "mode"):
+    if context[key].ndim == 1:
+      context[key] = context[key][:, None]
+  return sample, context
+
+
+def train(
+    dataset_dir: str,
+    output_dir: str,
+    *,
+    batch_size: int = 512,
+    num_epochs: int = 20,
+    learning_rate: float = 1e-3,
+    save_model_frequency: int = 4,
+    output_length: int = 40,
+    seed: int = 42,
+    use_mesh: bool = True,
+    max_steps_per_epoch: int = 10**9,
+) -> dp.TrainState:
+  os.makedirs(output_dir, exist_ok=True)
+  loggers = [TerminalLogger(label="cil"),
+             JSONLLogger(os.path.join(output_dir, "logs"), "cil_train")]
+
+  model = BehaviouralModel(output_shape=(output_length, 2))
+  mesh = mesh_lib.make_mesh() if use_mesh and jax.device_count() > 1 \
+      else None
+
+  peek = next(CARLADataset.as_jax(dataset_dir, MODALITIES, batch_size=2,
+                                  mode=True, seed=seed))
+  _, context = make_context(model, peek)
+  rng = jax.random.PRNGKey(seed)
+  params = model.init(rng, **context)
+
+  tx = optax.adam(learning_rate)
+
+  def loss_fn(params, batch, step_rng):
+    del step_rng
+    sample, context = make_context(model, batch)
+    target = sample["player_future"][..., :2]
+    plan = model.apply(params, **context)
+    return jnp.mean(jnp.abs(plan - target))
+
+  update = dp.make_update_fn(loss_fn, tx, mesh)
+  state = dp.TrainState.create(params, tx, jax.random.fold_in(rng, 1))
+  if mesh is not None:
+    state = dp.replicate_state(mesh, state)
+
+  checkpointer = Checkpointer(os.path.join(output_dir, "ckpts"))
+
+  for epoch in range(num_epochs):
+    losses = []
+    t0 = time.time()
+    loader = CARLADataset.as_jax(dataset_dir, MODALITIES,
+                                 batch_size=batch_size, mode=True,
+                                 seed=seed + epoch)
+    for i, batch in enumerate(loader):
+      if i >= max_steps_per_epoch:
+        break
+      state, loss = update(state, batch)
+      losses.append(loss)
+    mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+    record = {
+        "epoch": epoch,
+        "loss": mean_loss,
+        "sec": round(time.time() - t0, 2),
+        "steps": int(state.step),
+    }
+    for logger in loggers:
+      logger.write(record)
+    if (epoch + 1) % save_model_frequency == 0 or epoch == num_epochs - 1:
+      checkpointer.save(epoch, jax.device_get(state.params))
+
+  return state
+
+
+def main() -> None:
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument("--dataset_dir", required=True)
+  parser.add_argument("--output_dir", required=True)
+  parser.add_argument("--batch_size", type=int, default=512)
+  parser.add_argument("--num_epochs", type=int, default=20)
+  parser.add_argument("--learning_rate", type=float, default=1e-3)
+  parser.add_argument("--save_model_frequency", type=int, default=4)
+  parser.add_argument("--seed", type=int, default=42)
+  args = parser.parse_args()
+  train(args.dataset_dir, args.output_dir, batch_size=args.batch_size,
+        num_epochs=args.num_epochs, learning_rate=args.learning_rate,
+        save_model_frequency=args.save_model_frequency, seed=args.seed)
+
+
+if __name__ == "__main__":
+  main()

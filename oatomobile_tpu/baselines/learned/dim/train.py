@@ -1,0 +1,159 @@
+"""Trains the deep imitative model on expert demonstrations.
+
+Parity: /root/reference/oatomobile/baselines/torch/dim/train.py:85-327 —
+NLL objective -(log_prob - logabsdet) on noised targets (sigma = 1e-2,
+train.py:186-189), Adam lr 1e-3, batch 512, checkpoints every 4 epochs,
+theoretical NLL floor logged (train.py:168-173).
+
+Run:  python -m oatomobile_tpu.baselines.learned.dim.train \
+          --dataset_dir ... --output_dir ... --num_epochs 20
+"""
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from oatomobile_tpu.datasets.carla import CARLADataset
+from oatomobile_tpu.models.dim import ImitativeModel
+from oatomobile_tpu.parallel import dp, mesh as mesh_lib
+from oatomobile_tpu.utils.checkpoint import Checkpointer
+from oatomobile_tpu.utils.loggers import JSONLLogger, TerminalLogger
+
+MODALITIES = (
+    "lidar",
+    "is_at_traffic_light",
+    "traffic_light_state",
+    "player_future",
+    "velocity",
+)
+
+NOISE_STD = 1e-2  # target perturbation (train.py:57, 186-189)
+
+
+def nll_limit(output_shape, noise_std: float = NOISE_STD) -> float:
+  """Theoretical NLL lower bound for noise-perturbed targets
+  (train.py:168-173): differential entropy of the added Gaussian."""
+  D = int(np.prod(output_shape))
+  return -float(
+      0.5 * D * (np.log(2 * np.pi * noise_std**2) + 1.0))
+
+
+def make_context(model: ImitativeModel, batch):
+  """Applies model.transform and extracts context kwargs."""
+  sample = model.transform(
+      {k: jnp.asarray(v) for k, v in batch.items()})
+  context = {
+      "visual_features": sample["visual_features"],
+      "velocity": sample["velocity"],
+      "is_at_traffic_light": sample["is_at_traffic_light"],
+      "traffic_light_state": sample["traffic_light_state"],
+  }
+  for key in ("is_at_traffic_light", "traffic_light_state"):
+    if context[key].ndim == 1:
+      context[key] = context[key][:, None]
+  return sample, context
+
+
+def train(
+    dataset_dir: str,
+    output_dir: str,
+    *,
+    batch_size: int = 512,
+    num_epochs: int = 20,
+    learning_rate: float = 1e-3,
+    save_model_frequency: int = 4,
+    num_timesteps_to_keep: int = 4,
+    clip_gradients: bool = False,
+    seed: int = 42,
+    use_mesh: bool = True,
+    max_steps_per_epoch: int = 10**9,
+) -> dp.TrainState:
+  """Runs training; returns the final TrainState."""
+  os.makedirs(output_dir, exist_ok=True)
+  log_dir = os.path.join(output_dir, "logs")
+  ckpt_dir = os.path.join(output_dir, "ckpts")
+  loggers = [TerminalLogger(label="dim"), JSONLLogger(log_dir, "dim_train")]
+
+  model = ImitativeModel(output_shape=(num_timesteps_to_keep, 2))
+  mesh = mesh_lib.make_mesh() if use_mesh and jax.device_count() > 1 \
+      else None
+
+  # Initialise from one peek batch.
+  peek = next(
+      CARLADataset.as_jax(dataset_dir, MODALITIES, batch_size=2, seed=seed))
+  _, context = make_context(model, peek)
+  rng = jax.random.PRNGKey(seed)
+  y0 = jnp.zeros((2, num_timesteps_to_keep, 2))
+  params = model.init(rng, y0, method=model.log_prob, **context)
+
+  tx = optax.adam(learning_rate)
+  if clip_gradients:
+    tx = optax.chain(optax.clip_by_global_norm(1.0), tx)
+
+  def loss_fn(params, batch, step_rng):
+    sample, context = make_context(model, batch)
+    y = sample["player_future"][..., :2]
+    y = y + NOISE_STD * jax.random.normal(step_rng, y.shape)
+    log_prob = model.apply(params, y, method=model.log_prob, **context)
+    return -jnp.mean(log_prob)
+
+  update = dp.make_update_fn(loss_fn, tx, mesh)
+  state = dp.TrainState.create(params, tx, jax.random.fold_in(rng, 1))
+  if mesh is not None:
+    state = dp.replicate_state(mesh, state)
+
+  checkpointer = Checkpointer(ckpt_dir)
+  limit = nll_limit((num_timesteps_to_keep, 2))
+
+  for epoch in range(num_epochs):
+    losses = []
+    t0 = time.time()
+    loader = CARLADataset.as_jax(dataset_dir, MODALITIES,
+                                 batch_size=batch_size, seed=seed + epoch)
+    for i, batch in enumerate(loader):
+      if i >= max_steps_per_epoch:
+        break
+      state, loss = update(state, batch)
+      losses.append(loss)
+    mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+    record = {
+        "epoch": epoch,
+        "loss": mean_loss,
+        "nll_limit": limit,
+        "sec": round(time.time() - t0, 2),
+        "steps": int(state.step),
+    }
+    for logger in loggers:
+      logger.write(record)
+    if (epoch + 1) % save_model_frequency == 0 or epoch == num_epochs - 1:
+      checkpointer.save(epoch, jax.device_get(state.params))
+
+  return state
+
+
+def main() -> None:
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument("--dataset_dir", required=True)
+  parser.add_argument("--output_dir", required=True)
+  parser.add_argument("--batch_size", type=int, default=512)
+  parser.add_argument("--num_epochs", type=int, default=20)
+  parser.add_argument("--learning_rate", type=float, default=1e-3)
+  parser.add_argument("--save_model_frequency", type=int, default=4)
+  parser.add_argument("--num_timesteps_to_keep", type=int, default=4)
+  parser.add_argument("--clip_gradients", action="store_true")
+  parser.add_argument("--seed", type=int, default=42)
+  args = parser.parse_args()
+  train(args.dataset_dir, args.output_dir, batch_size=args.batch_size,
+        num_epochs=args.num_epochs, learning_rate=args.learning_rate,
+        save_model_frequency=args.save_model_frequency,
+        num_timesteps_to_keep=args.num_timesteps_to_keep,
+        clip_gradients=args.clip_gradients, seed=args.seed)
+
+
+if __name__ == "__main__":
+  main()

@@ -1,1 +1,5 @@
-"""Subpackage."""
+"""Public API for `oatomobile_tpu.datasets`."""
+
+from oatomobile_tpu.datasets.carla import CARLADataset
+
+__all__ = ["CARLADataset"]
