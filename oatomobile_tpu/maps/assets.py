@@ -68,6 +68,7 @@ class TownMap:
   # are pathological on TPU):
   wall_rects: np.ndarray = None     # [Rw, 4] street-facing wall bands
   block_rects: np.ndarray = None    # [Rb, 4] solid building blocks
+  road_rects: np.ndarray = None     # [Rr, 4] drivable street corridors
 
   _device: Optional[dict] = dataclasses.field(default=None, repr=False)
 
@@ -123,6 +124,7 @@ class TownMap:
           wall_mask=jnp.asarray(self.wall_mask),
           wall_rects=jnp.asarray(self.wall_rects, dtype=jnp.float32),
           block_rects=jnp.asarray(self.block_rects, dtype=jnp.float32),
+          road_rects=jnp.asarray(self.road_rects, dtype=jnp.float32),
           nearest_wp=jnp.asarray(self.nearest_wp, dtype=jnp.int32),
           lane_width=jnp.float32(self.lane_width),
       )

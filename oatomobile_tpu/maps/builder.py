@@ -361,6 +361,16 @@ def build_grid_town(name: str, xs: Sequence[float],
         cx = x0 + side * (clear + wall_thick / 2)
         wall_rects.append(np.array([cx, cy, wall_thick / 2, hy]))
 
+  road_rects: List[np.ndarray] = []    # drivable street corridors
+  for y0 in ys:
+    road_rects.append(
+        np.array([(xs[0] + xs[-1]) / 2, y0,
+                  (xs[-1] - xs[0]) / 2 + half_road, half_road]))
+  for x0 in xs:
+    road_rects.append(
+        np.array([x0, (ys[0] + ys[-1]) / 2, half_road,
+                  (ys[-1] - ys[0]) / 2 + half_road]))
+
   block_rects: List[np.ndarray] = []   # solid obstacle regions
   xs_ext = np.concatenate([[xs[0] - 2 * pad - 100], xs,
                            [xs[-1] + 2 * pad + 100]])
@@ -409,4 +419,5 @@ def build_grid_town(name: str, xs: Sequence[float],
       nearest_wp=nearest,
       wall_rects=np.asarray(wall_rects, dtype=np.float32),
       block_rects=np.asarray(block_rects, dtype=np.float32),
+      road_rects=np.asarray(road_rects, dtype=np.float32),
   )

@@ -12,6 +12,7 @@ from typing import Dict, Sequence
 import jax.numpy as jnp
 
 from oatomobile_tpu.ops import bev
+from oatomobile_tpu.sensors import cameras
 from oatomobile_tpu.sim import traffic
 from oatomobile_tpu.sim.types import SceneState, WorldParams
 
@@ -157,6 +158,13 @@ def synthesize(params: WorldParams,
       out[key] = bird_view_rgb(params, state)
     elif key == "bird_view_camera_cityscapes":
       out[key] = bird_view_cityscapes(params, state)
+    elif key == "game_state":
+      out[key] = game_state(params, state)
+    elif key in ("front_camera_rgb", "rear_camera_rgb", "left_camera_rgb",
+                 "right_camera_rgb"):
+      offset = {"front_camera_rgb": 0.0, "rear_camera_rgb": 180.0,
+                "left_camera_rgb": 270.0, "right_camera_rgb": 90.0}[key]
+      out[key] = cameras.camera_rgb(params, state, offset)
     else:
       raise KeyError("Unknown on-device sensor {!r}".format(key))
   return out
@@ -291,3 +299,85 @@ def bird_view_rgb(params: WorldParams, state: SceneState) -> jnp.ndarray:
       _RGB_PED, _RGB_HERO
   ])
   return palette[cls]
+
+
+GAME_STATE_SIZE = 320        # hero-centric window (64 m at 5 px/m)
+GAME_STATE_PPM = 5.0         # defaults GAME_STATE_CONFIG pixels_per_meter
+
+
+def game_state(params: WorldParams, state: SceneState) -> jnp.ndarray:
+  """[320, 320, 8] binary masks: road, lane boundaries, vehicles,
+  pedestrians, green/yellow/red lights, hero.
+
+  Parity: GameStateSensor (simulator.py:1475-1592).  Deliberate deviation:
+  the reference rasterises the *entire town* through pygame every step
+  (thousands of pixels per side); this synthesises a hero-centric 64 m
+  window — the only part any consumer ever crops — axis-aligned to the
+  world (like the reference's full-map masks).
+  """
+  from oatomobile_tpu.sim import traffic as traffic_mod
+
+  size = GAME_STATE_SIZE
+  half = size / (2.0 * GAME_STATE_PPM)
+  c = jnp.linspace(-half + half / size, half - half / size, size)
+  wx = state.hero_xy[0] + c[:, None] * jnp.ones((1, size))
+  wy = state.hero_xy[1] + c[None, :] * jnp.ones((size, 1))
+
+  origin = params.map["raster_origin"]
+  ppm = params.map["raster_ppm"]
+  H, W = params.map["road_mask"].shape
+  ix = jnp.clip(jnp.round((wx - origin[0]) * ppm).astype(jnp.int32), 0, H - 1)
+  iy = jnp.clip(jnp.round((wy - origin[1]) * ppm).astype(jnp.int32), 0, W - 1)
+  road = params.map["road_mask"][ix, iy]
+  lanes = params.map["lane_mask"][ix, iy]
+
+  def boxes_mask(xy, yaw, alive, half_lw):
+    rel_u = wx[:, :, None] - xy[None, None, :, 0]
+    rel_v = wy[:, :, None] - xy[None, None, :, 1]
+    cr, sr = jnp.cos(yaw), jnp.sin(yaw)
+    bu = cr * rel_u + sr * rel_v
+    bv = -sr * rel_u + cr * rel_v
+    inside = ((jnp.abs(bu) <= half_lw[:, 0]) &
+              (jnp.abs(bv) <= half_lw[:, 1]) & alive[None, None, :])
+    return jnp.any(inside, axis=-1)
+
+  zeros = jnp.zeros((size, size), bool)
+  vehicles = zeros
+  if state.num_npcs > 0:
+    half_lw = jnp.stack([
+        jnp.full((state.num_npcs,), params.vehicle.length / 2),
+        jnp.full((state.num_npcs,), params.vehicle.width / 2)
+    ], -1)
+    vehicles = boxes_mask(state.npc_xy, state.npc_yaw, state.npc_alive,
+                          half_lw)
+  pedestrians = zeros
+  if state.num_pedestrians > 0:
+    half_lw = jnp.full((state.num_pedestrians, 2), 0.35)
+    pedestrians = boxes_mask(state.ped_xy, state.ped_yaw, state.ped_alive,
+                             half_lw)
+
+  # Traffic lights as 2x2 m splats, split by current phase.
+  tl_xy = params.map["tl_xy"]
+  green = yellow = red = zeros
+  if tl_xy.shape[0] > 0:
+    tl_states = traffic_mod.traffic_light_states(params, state.time)
+    du = jnp.abs(wx[:, :, None] - tl_xy[None, None, :, 0])
+    dv = jnp.abs(wy[:, :, None] - tl_xy[None, None, :, 1])
+    near = (du <= 1.0) & (dv <= 1.0)
+    green = jnp.any(near & (tl_states == traffic_mod.TL_GREEN), axis=-1)
+    yellow = jnp.any(near & (tl_states == traffic_mod.TL_YELLOW_STATE),
+                     axis=-1)
+    red = jnp.any(near & (tl_states == traffic_mod.TL_RED), axis=-1)
+
+  # Hero box (oriented).
+  rel_u = wx - state.hero_xy[0]
+  rel_v = wy - state.hero_xy[1]
+  cr, sr = jnp.cos(state.hero_yaw), jnp.sin(state.hero_yaw)
+  hu = cr * rel_u + sr * rel_v
+  hv = -sr * rel_u + cr * rel_v
+  hero = ((jnp.abs(hu) <= params.vehicle.length / 2) &
+          (jnp.abs(hv) <= params.vehicle.width / 2))
+
+  return jnp.stack(
+      [road, lanes, vehicles, pedestrians, green, yellow, red, hero],
+      axis=-1).astype(jnp.int32)

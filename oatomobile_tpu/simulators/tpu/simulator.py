@@ -203,6 +203,22 @@ ActorsTrackerSensor = _device_sensor(
     "actors_tracker", CARLASensorTypes.ACTORS_TRACKER,
     spaces.Box(low=-np.inf, high=np.inf, shape=(0, 4), dtype=np.float32))
 
+_CAMERA_BOX = spaces.Box(
+    low=0.0, high=1.0,
+    shape=(defaults.FRONT_CAMERA_IMAGE_SIZE[0],
+           defaults.FRONT_CAMERA_IMAGE_SIZE[1], 3), dtype=np.float32)
+FrontCameraRGBSensor = _device_sensor(
+    "front_camera_rgb", CARLASensorTypes.FRONT_CAMERA_RGB, _CAMERA_BOX)
+RearCameraRGBSensor = _device_sensor(
+    "rear_camera_rgb", CARLASensorTypes.REAR_CAMERA_RGB, _CAMERA_BOX)
+LeftCameraRGBSensor = _device_sensor(
+    "left_camera_rgb", CARLASensorTypes.LEFT_CAMERA_RGB, _CAMERA_BOX)
+RightCameraRGBSensor = _device_sensor(
+    "right_camera_rgb", CARLASensorTypes.RIGHT_CAMERA_RGB, _CAMERA_BOX)
+GameStateSensor = _device_sensor(
+    "game_state", CARLASensorTypes.GAME_STATE,
+    spaces.Box(low=0, high=1, shape=(320, 320, 8), dtype=np.int32))
+
 
 @registry.register_sensor(name="predictions")
 class PredictionsSensor(Sensor):
@@ -244,7 +260,8 @@ class PredictionsSensor(Sensor):
 # Sensor keys that are synthesised inside the fused device step.
 _DEVICE_KEYS = frozenset(synth.STATE_SENSORS) | {
     "lidar", "bird_view_camera_rgb", "bird_view_camera_cityscapes",
-    "actors_tracker"
+    "actors_tracker", "game_state", "front_camera_rgb", "rear_camera_rgb",
+    "left_camera_rgb", "right_camera_rgb"
 }
 
 
