@@ -9,6 +9,12 @@ names, minus the CARLA path hacks which no longer exist).
 """
 
 from oatomobile_tpu._metadata import __version__
+from oatomobile_tpu.utils.platform import enable_compilation_cache as \
+    _enable_compilation_cache
+
+# Persistent XLA compilation cache: makes repeat runs start in seconds
+# (critical under remote-compile TPU runtimes).  No-op if unsupported.
+_enable_compilation_cache()
 from oatomobile_tpu import types
 from oatomobile_tpu.core.agent import Agent
 from oatomobile_tpu.core.benchmark import Benchmark

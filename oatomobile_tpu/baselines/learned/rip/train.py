@@ -1,0 +1,127 @@
+"""Trains the RIP ensemble: K deep imitative models in one computation.
+
+The reference trains its K=4 DIMs as separate jobs and loads K checkpoints
+(README.md:55-58).  TPU-native: the ensemble is a stacked-parameter vmap
+axis — K models train *simultaneously* from different seeds on the same
+batches, one fused update per step; on a multi-chip mesh the ensemble axis
+shards over ``mp`` (see parallel/mesh.py).
+
+Run:  python -m oatomobile_tpu.baselines.learned.rip.train \
+          --dataset_dir ... --output_dir ... --num_models 4
+"""
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from oatomobile_tpu.baselines.learned.dim.train import (MODALITIES,
+                                                        NOISE_STD,
+                                                        make_context)
+from oatomobile_tpu.datasets.carla import CARLADataset
+from oatomobile_tpu.models.dim import ImitativeModel
+from oatomobile_tpu.utils.checkpoint import Checkpointer
+from oatomobile_tpu.utils.loggers import JSONLLogger, TerminalLogger
+
+
+def unstack_params(stacked, k: int):
+  """Extracts member k's parameters from a stacked ensemble pytree."""
+  return jax.tree.map(lambda x: x[k], stacked)
+
+
+def train(
+    dataset_dir: str,
+    output_dir: str,
+    *,
+    num_models: int = 4,
+    batch_size: int = 512,
+    num_epochs: int = 20,
+    learning_rate: float = 1e-3,
+    save_model_frequency: int = 4,
+    num_timesteps_to_keep: int = 4,
+    seed: int = 42,
+    max_steps_per_epoch: int = 10**9,
+):
+  os.makedirs(output_dir, exist_ok=True)
+  loggers = [TerminalLogger(label="rip"),
+             JSONLLogger(os.path.join(output_dir, "logs"), "rip_train")]
+
+  model = ImitativeModel(output_shape=(num_timesteps_to_keep, 2))
+  peek = next(CARLADataset.as_jax(dataset_dir, MODALITIES, batch_size=2,
+                                  seed=seed))
+  _, context = make_context(model, peek)
+  y0 = jnp.zeros((2, num_timesteps_to_keep, 2))
+
+  def init_one(k):
+    return model.init(jax.random.PRNGKey(seed + k), y0,
+                      method=model.log_prob, **context)
+
+  stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0),
+                         *[init_one(k) for k in range(num_models)])
+  tx = optax.adam(learning_rate)
+  opt_state = tx.init(stacked)
+
+  def loss_fn(stacked_params, batch, rng):
+    sample, context = make_context(model, batch)
+    y = sample["player_future"][..., :2]
+
+    def member(params_k, rng_k):
+      noisy = y + NOISE_STD * jax.random.normal(rng_k, y.shape)
+      lp = model.apply(params_k, noisy, method=model.log_prob, **context)
+      return -jnp.mean(lp)
+
+    rngs = jax.random.split(rng, num_models)
+    return jnp.mean(jax.vmap(member)(stacked_params, rngs))
+
+  @jax.jit
+  def update(stacked_params, opt_state, batch, rng):
+    loss, grads = jax.value_and_grad(loss_fn)(stacked_params, batch, rng)
+    updates, opt_state = tx.update(grads, opt_state, stacked_params)
+    return optax.apply_updates(stacked_params, updates), opt_state, loss
+
+  checkpointer = Checkpointer(os.path.join(output_dir, "ckpts"),
+                              prefix="ensemble")
+  rng = jax.random.PRNGKey(seed + 999)
+  step = 0
+  for epoch in range(num_epochs):
+    losses = []
+    t0 = time.time()
+    loader = CARLADataset.as_jax(dataset_dir, MODALITIES,
+                                 batch_size=batch_size, seed=seed + epoch)
+    for i, batch in enumerate(loader):
+      if i >= max_steps_per_epoch:
+        break
+      rng, step_rng = jax.random.split(rng)
+      stacked, opt_state, loss = update(stacked, opt_state, batch, step_rng)
+      losses.append(loss)
+      step += 1
+    mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+    for logger in loggers:
+      logger.write({"epoch": epoch, "loss": mean_loss, "models": num_models,
+                    "sec": round(time.time() - t0, 2), "steps": step})
+    if (epoch + 1) % save_model_frequency == 0 or epoch == num_epochs - 1:
+      checkpointer.save(epoch, jax.device_get(stacked))
+
+  return stacked
+
+
+def main() -> None:
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument("--dataset_dir", required=True)
+  parser.add_argument("--output_dir", required=True)
+  parser.add_argument("--num_models", type=int, default=4)
+  parser.add_argument("--batch_size", type=int, default=512)
+  parser.add_argument("--num_epochs", type=int, default=20)
+  parser.add_argument("--learning_rate", type=float, default=1e-3)
+  parser.add_argument("--seed", type=int, default=42)
+  args = parser.parse_args()
+  train(args.dataset_dir, args.output_dir, num_models=args.num_models,
+        batch_size=args.batch_size, num_epochs=args.num_epochs,
+        learning_rate=args.learning_rate, seed=args.seed)
+
+
+if __name__ == "__main__":
+  main()

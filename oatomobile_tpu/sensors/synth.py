@@ -10,6 +10,7 @@ shapes exactly (see each function's citation).
 from typing import Dict, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from oatomobile_tpu.ops import bev
 from oatomobile_tpu.sensors import cameras
@@ -199,20 +200,20 @@ def actors_tracker(state: SceneState) -> jnp.ndarray:
 # --- Bird-view cameras ------------------------------------------------------
 # CityScapes palette entries used by CARLA semantic segmentation (the
 # reference decodes them at utils/carla.py:147-162):
-_CS_ROAD = jnp.asarray([128, 64, 128], jnp.float32) / 255.0
-_CS_ROADLINE = jnp.asarray([157, 234, 50], jnp.float32) / 255.0
-_CS_BUILDING = jnp.asarray([70, 70, 70], jnp.float32) / 255.0
-_CS_VEHICLE = jnp.asarray([0, 0, 142], jnp.float32) / 255.0
-_CS_PEDESTRIAN = jnp.asarray([220, 20, 60], jnp.float32) / 255.0
-_CS_GROUND = jnp.asarray([81, 0, 81], jnp.float32) / 255.0
+_CS_ROAD = np.asarray([128, 64, 128], np.float32) / 255.0
+_CS_ROADLINE = np.asarray([157, 234, 50], np.float32) / 255.0
+_CS_BUILDING = np.asarray([70, 70, 70], np.float32) / 255.0
+_CS_VEHICLE = np.asarray([0, 0, 142], np.float32) / 255.0
+_CS_PEDESTRIAN = np.asarray([220, 20, 60], np.float32) / 255.0
+_CS_GROUND = np.asarray([81, 0, 81], np.float32) / 255.0
 
-_RGB_ROAD = jnp.asarray([60, 60, 60], jnp.float32) / 255.0
-_RGB_LINE = jnp.asarray([200, 200, 200], jnp.float32) / 255.0
-_RGB_BUILDING = jnp.asarray([120, 100, 90], jnp.float32) / 255.0
-_RGB_VEHICLE = jnp.asarray([30, 60, 140], jnp.float32) / 255.0
-_RGB_PED = jnp.asarray([200, 60, 60], jnp.float32) / 255.0
-_RGB_GROUND = jnp.asarray([90, 120, 80], jnp.float32) / 255.0
-_RGB_HERO = jnp.asarray([200, 30, 30], jnp.float32) / 255.0
+_RGB_ROAD = np.asarray([60, 60, 60], np.float32) / 255.0
+_RGB_LINE = np.asarray([200, 200, 200], np.float32) / 255.0
+_RGB_BUILDING = np.asarray([120, 100, 90], np.float32) / 255.0
+_RGB_VEHICLE = np.asarray([30, 60, 140], np.float32) / 255.0
+_RGB_PED = np.asarray([200, 60, 60], np.float32) / 255.0
+_RGB_GROUND = np.asarray([90, 120, 80], np.float32) / 255.0
+_RGB_HERO = np.asarray([200, 30, 30], np.float32) / 255.0
 
 BIRD_VIEW_SIZE = 200      # defaults.py:97-101 (200x200, z=25 camera)
 BIRD_VIEW_METERS = 25.0   # ~half-width covered at fov 90, z=25
