@@ -20,8 +20,8 @@ import numpy as np
 from oatomobile_tpu.maps import load_town
 from oatomobile_tpu.parallel import mesh as mesh_lib
 from oatomobile_tpu.sensors import synth
-from oatomobile_tpu.sim import (autopilot_policy, init_scene, make_params,
-                                stack_scenes, world_step)
+from oatomobile_tpu.sim import (autopilot_policy, init_scene_batch,
+                                make_params, world_step)
 from oatomobile_tpu.sim.types import SceneState
 from oatomobile_tpu.simulators.tpu import defaults
 
@@ -39,18 +39,18 @@ class BatchedEnv:
       fps: int = defaults.SIMULATOR_FPS,
       max_episode_steps: int = 1500,
       route_capacity: int = 512,
-      route_pool: int = 32,
+      route_pool: Optional[int] = None,
       seed: int = 0,
       mesh=None,
       auto_reset: bool = True,
   ) -> None:
     """Args:
-      route_pool: number of distinct (origin, destination) routes planned on
-        the host; scenes cycle through the pool (host BFS is O(pool), not
-        O(batch)).
+      route_pool: unused, kept for backwards compatibility — the native
+        batched BFS planner makes per-scene unique routes free.
       mesh: optional `jax.sharding.Mesh`; scene state is sharded over its
         data axis, map parameters replicated.
     """
+    del route_pool
     self._town = load_town(town)
     self._params = make_params(self._town, fps=fps)
     self._batch_size = int(batch_size)
@@ -59,24 +59,14 @@ class BatchedEnv:
     self._auto_reset = auto_reset
     self._mesh = mesh
 
-    rng = np.random.RandomState(seed)
-    pool = []
-    for i in range(min(route_pool, batch_size)):
-      pool.append(
-          init_scene(
-              self._town,
-              num_vehicles=num_vehicles,
-              num_pedestrians=num_pedestrians,
-              route_capacity=route_capacity,
-              rng=rng,
-              jax_seed=seed + i,
-          ))
-    scenes = [pool[i % len(pool)] for i in range(batch_size)]
-    batched = stack_scenes(scenes)
-    # Decorrelate RNG streams of scenes sharing a pooled route.
-    keys = jax.vmap(jax.random.PRNGKey)(
-        jnp.arange(seed, seed + batch_size, dtype=jnp.uint32))
-    batched = batched.replace(rng=keys)
+    batched = init_scene_batch(
+        self._town,
+        batch_size,
+        num_vehicles=num_vehicles,
+        num_pedestrians=num_pedestrians,
+        route_capacity=route_capacity,
+        seed=seed,
+    )
 
     if mesh is not None:
       batched = mesh_lib.shard_batch(mesh, batched)

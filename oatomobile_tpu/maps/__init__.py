@@ -1,7 +1,8 @@
 """Map assets: procedural towns, waypoint graphs, rasters, routing."""
 
 from oatomobile_tpu.maps.assets import MAX_NEXT, TownMap
-from oatomobile_tpu.maps.routing import (nearest_waypoint, plan_route,
+from oatomobile_tpu.maps.routing import (graph_csr, nearest_waypoint,
+                                         plan_route, plan_route_batch,
                                          route_distances, shortest_route)
 from oatomobile_tpu.maps.towns import AVAILABLE_TOWNS, load_town, town_bounds
 
@@ -15,4 +16,6 @@ __all__ = [
     "plan_route",
     "route_distances",
     "shortest_route",
+    "graph_csr",
+    "plan_route_batch",
 ]

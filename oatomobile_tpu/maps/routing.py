@@ -16,6 +16,51 @@ import numpy as np
 
 from oatomobile_tpu.maps.assets import TownMap
 
+_CSR_CACHE = {}
+
+
+def graph_csr(town: TownMap) -> Tuple[np.ndarray, np.ndarray]:
+  """CSR (indptr, indices) view of the waypoint successor graph."""
+  key = id(town)
+  if key not in _CSR_CACHE:
+    counts = town.wp_num_next.astype(np.int64)
+    indptr = np.zeros(town.num_waypoints + 1, dtype=np.int32)
+    np.cumsum(counts, out=indptr[1:])
+    indices = np.empty(int(indptr[-1]), dtype=np.int32)
+    for u in range(town.num_waypoints):
+      indices[indptr[u]:indptr[u + 1]] = town.wp_next[u, :counts[u]]
+    _CSR_CACHE[key] = (indptr, indices)
+  return _CSR_CACHE[key]
+
+
+def plan_route_batch(town: TownMap, origin_wps: np.ndarray,
+                     dest_wps: np.ndarray,
+                     capacity: int) -> Tuple[np.ndarray, np.ndarray]:
+  """Plans many routes at once: native C++ BFS when available
+  (oatomobile_tpu/native), Python BFS otherwise.
+
+  Returns (routes [Q, capacity] i32 saturating-padded, lengths [Q] i32).
+  """
+  from oatomobile_tpu import native
+  indptr, indices = graph_csr(town)
+  result = native.plan_routes_native(indptr, indices,
+                                     np.asarray(origin_wps, np.int32),
+                                     np.asarray(dest_wps, np.int32),
+                                     capacity)
+  if result is not None:
+    return result
+  routes = np.empty((len(origin_wps), capacity), dtype=np.int32)
+  lengths = np.empty((len(origin_wps),), dtype=np.int32)
+  for q, (o, d) in enumerate(zip(origin_wps, dest_wps)):
+    path = shortest_route(town, int(o), int(d))
+    if path is None:
+      path = np.asarray([int(o)], dtype=np.int32)
+    path = path[:capacity]
+    lengths[q] = len(path)
+    routes[q, :len(path)] = path
+    routes[q, len(path):] = path[-1]
+  return routes, lengths
+
 
 def shortest_route(town: TownMap, origin_wp: int,
                    destination_wp: int) -> Optional[np.ndarray]:

@@ -3,8 +3,8 @@
 from oatomobile_tpu.sim.types import (PIDState, SceneState, VehicleSpec,
                                       WorldParams)
 from oatomobile_tpu.sim.world import (batched_world_step, init_scene,
-                                      make_params, rollout, stack_scenes,
-                                      world_step)
+                                      init_scene_batch, make_params, rollout,
+                                      stack_scenes, world_step)
 from oatomobile_tpu.sim.autopilot import autopilot_policy
 
 __all__ = [
@@ -15,6 +15,7 @@ __all__ = [
     "world_step",
     "batched_world_step",
     "init_scene",
+    "init_scene_batch",
     "make_params",
     "rollout",
     "stack_scenes",

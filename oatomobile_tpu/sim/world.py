@@ -226,6 +226,110 @@ def init_scene(
   )
 
 
+def init_scene_batch(
+    town: TownMap,
+    batch_size: int,
+    *,
+    num_vehicles: int = 0,
+    num_pedestrians: int = 0,
+    route_capacity: int = DEFAULT_ROUTE_CAPACITY,
+    seed: int = 0,
+    spawn_points: Optional[np.ndarray] = None,
+    destinations: Optional[np.ndarray] = None,
+) -> SceneState:
+  """Vectorised initialisation of a whole scene batch.
+
+  All routes are planned in one native BFS call
+  (oatomobile_tpu/native/route_planner.cc); everything else is vectorised
+  numpy — batch init is O(ms) even at 1024 scenes, so every scene gets a
+  *unique* (origin, destination, traffic) draw.
+  """
+  from oatomobile_tpu.maps.routing import plan_route_batch
+
+  rng = np.random.RandomState(seed)
+  B = int(batch_size)
+  S = town.num_spawn_points
+
+  sp = (rng.randint(S, size=B) if spawn_points is None
+        else np.asarray(spawn_points) % S)
+  dp = (rng.randint(S, size=B) if destinations is None
+        else np.asarray(destinations) % S)
+
+  origin_wps = town.spawn_wp[sp]
+  dest_wps = town.spawn_wp[dp]
+  routes, lengths = plan_route_batch(town, origin_wps, dest_wps,
+                                     route_capacity)
+
+  hero_xy = town.wp_xy[origin_wps]
+  hero_yaw = town.wp_yaw[origin_wps]
+  dest_xy = town.wp_xy[dest_wps]
+
+  # NPCs: per-scene distinct spawn indices, excluding the hero's.
+  K = int(num_vehicles)
+  npc_xy = np.zeros((B, K, 2), np.float32)
+  npc_yaw = np.zeros((B, K), np.float32)
+  npc_wp = np.zeros((B, K), np.int32)
+  npc_alive = np.zeros((B, K), bool)
+  if K > 0:
+    order = np.argsort(rng.rand(B, S), axis=1)[:, :K + 1]
+    # Drop the hero spawn if drawn; keep the first K of the rest.
+    keep = order != sp[:, None]
+    picks = np.empty((B, K), dtype=np.int64)
+    for b in range(B):  # tiny loop over B, vector ops inside
+      picks[b] = order[b][keep[b]][:K]
+    wp = town.spawn_wp[picks]
+    npc_xy[:] = town.wp_xy[wp]
+    npc_yaw[:] = town.wp_yaw[wp]
+    npc_wp[:] = town.wp_next[wp, 0]
+    npc_alive[:] = True
+
+  P = int(num_pedestrians)
+  ped_xy = np.zeros((B, P, 2), np.float32)
+  ped_yaw = np.zeros((B, P), np.float32)
+  ped_alive = np.ones((B, P), bool)
+  if P > 0:
+    free = np.nonzero(~town.road_mask & ~town.obstacle_mask)
+    sel = rng.randint(len(free[0]), size=(B, P))
+    ped_xy[..., 0] = town.raster_origin[0] + free[0][sel] / town.raster_ppm
+    ped_xy[..., 1] = town.raster_origin[1] + free[1][sel] / town.raster_ppm
+    ped_yaw[:] = rng.uniform(-np.pi, np.pi, size=(B, P))
+
+  keys = jax.vmap(jax.random.PRNGKey)(
+      jnp.arange(seed, seed + B, dtype=jnp.uint32))
+
+  zeros_b = jnp.zeros((B,), jnp.float32)
+  return SceneState(
+      hero_xy=jnp.asarray(hero_xy),
+      hero_yaw=jnp.asarray(hero_yaw),
+      hero_speed=zeros_b,
+      hero_vel=jnp.zeros((B, 2), jnp.float32),
+      hero_accel=jnp.zeros((B, 2), jnp.float32),
+      hero_yaw_rate=zeros_b,
+      hero_control=jnp.zeros((B, 3), jnp.float32),
+      hero_wp=jnp.asarray(origin_wps, jnp.int32),
+      route=jnp.asarray(routes),
+      route_len=jnp.asarray(lengths, jnp.int32),
+      route_pos=jnp.zeros((B,), jnp.int32),
+      destination_xy=jnp.asarray(dest_xy),
+      npc_xy=jnp.asarray(npc_xy),
+      npc_yaw=jnp.asarray(npc_yaw),
+      npc_speed=jnp.zeros((B, K), jnp.float32),
+      npc_wp=jnp.asarray(npc_wp),
+      npc_alive=jnp.asarray(npc_alive),
+      ped_xy=jnp.asarray(ped_xy),
+      ped_yaw=jnp.asarray(ped_yaw),
+      ped_alive=jnp.asarray(ped_alive),
+      time=zeros_b,
+      step=jnp.zeros((B,), jnp.int32),
+      collision=zeros_b,
+      lane_invasion=jnp.zeros((B,), jnp.int32),
+      off_lane_prev=jnp.zeros((B,), bool),
+      pid_lat=PIDState(integral=zeros_b, prev_error=zeros_b),
+      pid_lon=PIDState(integral=zeros_b, prev_error=zeros_b),
+      rng=keys,
+  )
+
+
 def stack_scenes(scenes) -> SceneState:
   """Stacks per-scene states into a batched SceneState (leading axis)."""
   return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *scenes)
