@@ -25,6 +25,10 @@ def main() -> None:
   town = os.environ.get("BENCH_TOWN", "Town01")
   num_vehicles = int(os.environ.get("BENCH_VEHICLES", 16))
   steps = int(os.environ.get("BENCH_STEPS", 256))
+  # BENCH_MODE=dim runs the full learned DIM agent (BEV -> MobileNetV2 ->
+  # flow -> inner-loop Adam planning -> PID) in the loop instead of the
+  # rule-based autopilot (BASELINE.json config 2/5).
+  mode = os.environ.get("BENCH_MODE", "autopilot")
 
   import jax
   jax.config.update("jax_compilation_cache_dir",
@@ -37,26 +41,44 @@ def main() -> None:
       town=town,
       batch_size=batch,
       num_vehicles=num_vehicles,
-      route_pool=32,
       route_capacity=1024,
       seed=0,
   )
 
+  policy = None
+  rollout_kwargs = {"compute": ("lidar",)}
+  metric_name = "env_steps_per_sec_per_chip_1024bev"
+  if mode == "dim":
+    import jax.numpy as jnp
+    from oatomobile_tpu.baselines.learned.dim.policy import make_dim_policy
+    from oatomobile_tpu.models.dim import ImitativeModel
+    model = ImitativeModel(output_shape=(4, 2))
+    ctx = dict(
+        visual_features=jnp.zeros((1, 100, 100, 2)),
+        velocity=jnp.zeros((1, 3)),
+        is_at_traffic_light=jnp.zeros((1, 1)),
+        traffic_light_state=jnp.zeros((1, 1)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 2)),
+                        method=model.log_prob, **ctx)
+    policy = make_dim_policy(model, params, num_plan_steps=20)
+    rollout_kwargs = {}
+    metric_name = "dim_closed_loop_steps_per_sec_per_chip"
+
   # Warm-up: compile + one full run.  NOTE: timing must fetch a (small)
   # result to the host — under the tunneled axon runtime
   # `block_until_ready` returns before execution completes.
-  final, _, stats = env.rollout(steps, compute=("lidar",))
-  float(np.asarray(stats["obs_checksum"]).sum())
+  final, _, stats = env.rollout(steps, policy=policy, **rollout_kwargs)
+  float(np.asarray(stats["distance"]).sum())
 
   t0 = time.perf_counter()
-  final, _, stats = env.rollout(steps, compute=("lidar",))
-  checksum = float(np.asarray(stats["obs_checksum"]).sum())
+  final, _, stats = env.rollout(steps, policy=policy, **rollout_kwargs)
+  probe = float(np.asarray(stats["distance"]).sum())
   elapsed = time.perf_counter() - t0
-  del checksum
+  del probe
 
   steps_per_sec = batch * steps / elapsed
   result = {
-      "metric": "env_steps_per_sec_per_chip_1024bev",
+      "metric": metric_name,
       "value": round(steps_per_sec, 1),
       "unit": "steps/s",
       "vs_baseline": round(steps_per_sec / 100_000.0, 3),

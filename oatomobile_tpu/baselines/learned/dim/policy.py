@@ -1,0 +1,99 @@
+"""Fully in-graph DIM driving policy for batched rollouts.
+
+The reference's DIM closed loop crosses the host every step: sensor queues
+-> numpy -> torch -> 20-step Adam plan -> scipy interpolation -> CARLA PID
+(SURVEY.md §3.5).  Here the *entire* loop — BEV synthesis, encoder, flow,
+inner-loop planning, setpoint PID — is one traced function usable as the
+``policy`` of ``BatchedEnv.rollout``: thousands of DIM agents drive
+closed-loop inside a single `lax.scan`.
+
+Control bridge semantics follow SetPointAgent (baselines/base.py:116-176):
+the plan is produced in ego frame at 1 s resolution (4 steps); the tracked
+setpoint is the reference's interpolated index-5 point (halfway between
+plan[0] and plan[1]), and target speed derives from setpoint spacing.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from oatomobile_tpu.models.dim import ImitativeModel
+from oatomobile_tpu.sensors import synth
+from oatomobile_tpu.sim import dynamics
+from oatomobile_tpu.sim.types import SceneState, WorldParams
+
+_OBS_KEYS = ("lidar", "velocity", "is_at_traffic_light",
+             "traffic_light_state", "goal")
+
+# Interpolated-buffer geometry of the reference agents: a [4, 2] plan is
+# linearly upsampled x10 (40-step buffer); setpoint_index=5 lands halfway
+# between plan[0] and plan[1]; buffer spacing is plan spacing / 10.
+_SETPOINT_FRAC = 0.5
+_INTERP_FACTOR = 10.0
+
+
+def make_dim_policy(model: ImitativeModel,
+                    model_params,
+                    *,
+                    num_plan_steps: int = 20,
+                    lr: float = 5e-2,
+                    epsilon: float = 1.0):
+  """Returns `policy(world_params, states) -> (actions [B,3], states)`."""
+
+  def policy(world_params: WorldParams,
+             states: SceneState) -> Tuple[jnp.ndarray, SceneState]:
+    obs = jax.vmap(
+        lambda s: synth.synthesize(world_params, s, _OBS_KEYS))(states)
+
+    sample = model.transform({"lidar": obs["lidar"]})
+    context = dict(
+        visual_features=sample["visual_features"],
+        velocity=obs["velocity"],
+        is_at_traffic_light=obs["is_at_traffic_light"][:, None].astype(
+            jnp.float32),
+        traffic_light_state=obs["traffic_light_state"][:, None].astype(
+            jnp.float32),
+    )
+    goal = obs["goal"][..., :2]
+
+    plan = model.apply(model_params, num_steps=num_plan_steps, goal=goal,
+                       lr=lr, epsilon=epsilon, method=model.plan,
+                       **context)  # [B, T, 2] ego frame
+
+    # Setpoint + target speed (reference base.py:152-175).
+    setpoint_local = (1.0 - _SETPOINT_FRAC) * plan[:, 0] + \
+        _SETPOINT_FRAC * plan[:, 1]
+    spacing = jnp.linalg.norm(plan[:, 1] - plan[:, 0],
+                              axis=-1) / _INTERP_FACTOR
+    target_speed = spacing / world_params.dt
+    # Spawn warm-up floor (base.py:165-167).
+    target_speed = jnp.where(states.step <= 100,
+                             jnp.maximum(target_speed, 20.0 / 3.6),
+                             target_speed)
+
+    # Ego -> world.
+    cos_y = jnp.cos(states.hero_yaw)
+    sin_y = jnp.sin(states.hero_yaw)
+    target_xy = jnp.stack([
+        states.hero_xy[:, 0] + cos_y * setpoint_local[:, 0] -
+        sin_y * setpoint_local[:, 1],
+        states.hero_xy[:, 1] + sin_y * setpoint_local[:, 0] +
+        cos_y * setpoint_local[:, 1],
+    ], axis=-1)
+
+    steer, pid_lat = jax.vmap(
+        lambda p, xy, yaw, t: dynamics.lateral_control(
+            p, xy, yaw, t, world_params.dt))(states.pid_lat,
+                                             states.hero_xy,
+                                             states.hero_yaw, target_xy)
+    throttle, pid_lon = jax.vmap(
+        lambda p, v, t: dynamics.longitudinal_control(
+            p, v, t, world_params.dt))(states.pid_lon, states.hero_speed,
+                                       target_speed)
+
+    actions = jnp.stack([throttle, steer, jnp.zeros_like(throttle)],
+                        axis=-1)
+    return actions, states.replace(pid_lat=pid_lat, pid_lon=pid_lon)
+
+  return policy

@@ -180,7 +180,8 @@ class BatchedEnv:
     Returns:
       (final_state, collected dict, episode_stats dict).
     """
-    key = (num_steps, tuple(collect), tuple(compute), policy is None)
+    key = (num_steps, tuple(collect), tuple(compute),
+           None if policy is None else id(policy))
     if key not in self._rollout_cache:
       sensors = tuple(collect)
       computed = tuple(compute)
