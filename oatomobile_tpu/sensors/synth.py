@@ -149,6 +149,8 @@ def synthesize(params: WorldParams,
       out[key] = state.collision
     elif key == "lane_invasion":
       out[key] = state.lane_invasion
+    elif key == "red_light_invasion":
+      out[key] = state.red_light_invasion
     elif key == "goal":
       out[key] = goal(params, state)
     elif key == "lidar":

@@ -104,6 +104,8 @@ class SceneState:
   collision: jnp.ndarray      # [] f32 impulse intensity this step (0 = none)
   lane_invasion: jnp.ndarray  # [] i32 lane invasions fired this step
   off_lane_prev: jnp.ndarray  # [] bool hero was outside its lane last step
+  red_light_invasion: jnp.ndarray  # [] i32 ran-a-red events this step
+  at_red_prev: jnp.ndarray    # [] bool hero was held at a red last step
 
   # --- Agent-side controller state (autopilot / setpoint PID) -----------
   pid_lat: PIDState

@@ -108,6 +108,14 @@ def world_step(params: WorldParams, state: SceneState,
   invasion, off_lane = events.detect_lane_invasion(params, state_mid, new_xy,
                                                    new_wp)
 
+  # Red-light invasion: entering the junction straight off a red-governed
+  # approach (implements the sensor the reference stubbed out,
+  # simulator.py:1409-1472).
+  governed, tl_code = traffic.light_for_waypoint(params, new_wp, tl_states)
+  at_red = governed & (tl_code == traffic.TL_RED)
+  in_junction = params.map["wp_is_junction"][new_wp]
+  ran_red = (state.at_red_prev & in_junction & ~governed).astype(jnp.int32)
+
   return state_mid.replace(
       hero_xy=new_xy,
       hero_yaw=new_yaw,
@@ -123,6 +131,8 @@ def world_step(params: WorldParams, state: SceneState,
       collision=impulse,
       lane_invasion=invasion,
       off_lane_prev=off_lane,
+      red_light_invasion=ran_red,
+      at_red_prev=at_red,
       rng=rng,
   )
 
@@ -220,6 +230,8 @@ def init_scene(
       collision=jnp.float32(0.0),
       lane_invasion=jnp.int32(0),
       off_lane_prev=jnp.asarray(False),
+      red_light_invasion=jnp.int32(0),
+      at_red_prev=jnp.asarray(False),
       pid_lat=PIDState.zero(),
       pid_lon=PIDState.zero(),
       rng=jax.random.PRNGKey(jax_seed),
@@ -324,6 +336,8 @@ def init_scene_batch(
       collision=zeros_b,
       lane_invasion=jnp.zeros((B,), jnp.int32),
       off_lane_prev=jnp.zeros((B,), bool),
+      red_light_invasion=jnp.zeros((B,), jnp.int32),
+      at_red_prev=jnp.zeros((B,), bool),
       pid_lat=PIDState(integral=zeros_b, prev_error=zeros_b),
       pid_lon=PIDState(integral=zeros_b, prev_error=zeros_b),
       rng=keys,

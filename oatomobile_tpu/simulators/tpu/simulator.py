@@ -218,6 +218,11 @@ RightCameraRGBSensor = _device_sensor(
 GameStateSensor = _device_sensor(
     "game_state", CARLASensorTypes.GAME_STATE,
     spaces.Box(low=0, high=1, shape=(320, 320, 8), dtype=np.int32))
+# Implemented here; the reference registered it but raised
+# NotImplementedError (simulator.py:1409-1472).
+RedLightInvasionSensor = _device_sensor(
+    "red_light_invasion", CARLASensorTypes.RED_LIGHT_INVASION,
+    spaces.Discrete(2))
 
 
 @registry.register_sensor(name="predictions")
@@ -261,7 +266,7 @@ class PredictionsSensor(Sensor):
 _DEVICE_KEYS = frozenset(synth.STATE_SENSORS) | {
     "lidar", "bird_view_camera_rgb", "bird_view_camera_cityscapes",
     "actors_tracker", "game_state", "front_camera_rgb", "rear_camera_rgb",
-    "left_camera_rgb", "right_camera_rgb"
+    "left_camera_rgb", "right_camera_rgb", "red_light_invasion"
 }
 
 
