@@ -37,10 +37,10 @@ NOISE_STD = 1e-2  # target perturbation (train.py:57, 186-189)
 
 def nll_limit(output_shape, noise_std: float = NOISE_STD) -> float:
   """Theoretical NLL lower bound for noise-perturbed targets
-  (train.py:168-173): differential entropy of the added Gaussian."""
+  (train.py:168-173): the differential entropy of the added Gaussian,
+  0.5 * D * (log(2*pi*sigma^2) + 1) — negative for sigma = 1e-2."""
   D = int(np.prod(output_shape))
-  return -float(
-      0.5 * D * (np.log(2 * np.pi * noise_std**2) + 1.0))
+  return float(0.5 * D * (np.log(2 * np.pi * noise_std**2) + 1.0))
 
 
 def make_context(model: ImitativeModel, batch):
@@ -72,8 +72,18 @@ def train(
     seed: int = 42,
     use_mesh: bool = True,
     max_steps_per_epoch: int = 10**9,
+    resume: bool = False,
+    plot_every: int = 0,
 ) -> dp.TrainState:
-  """Runs training; returns the final TrainState."""
+  """Runs training; returns the final TrainState.
+
+  Args:
+    resume: restore the latest full train state (params + optimiser +
+      step + rng) from output_dir/state — exact resume, which the
+      reference could not do (it saved weights only, SURVEY.md §5).
+    plot_every: if > 0, dump sampled-plan-over-BEV panels every N epochs
+      (parity with the reference's TensorBoard `write`, train.py:269-298).
+  """
   os.makedirs(output_dir, exist_ok=True)
   log_dir = os.path.join(output_dir, "logs")
   ckpt_dir = os.path.join(output_dir, "ckpts")
@@ -104,13 +114,23 @@ def train(
 
   update = dp.make_update_fn(loss_fn, tx, mesh)
   state = dp.TrainState.create(params, tx, jax.random.fold_in(rng, 1))
+
+  state_ckpt = Checkpointer(os.path.join(output_dir, "state"),
+                            prefix="train_state")
+  start_epoch = 0
+  if resume:
+    latest = state_ckpt.latest_epoch()
+    if latest is not None:
+      state = state_ckpt.load(latest, jax.device_get(state))
+      start_epoch = latest + 1
+
   if mesh is not None:
     state = dp.replicate_state(mesh, state)
 
   checkpointer = Checkpointer(ckpt_dir)
   limit = nll_limit((num_timesteps_to_keep, 2))
 
-  for epoch in range(num_epochs):
+  for epoch in range(start_epoch, num_epochs):
     losses = []
     t0 = time.time()
     loader = CARLADataset.as_jax(dataset_dir, MODALITIES,
@@ -132,8 +152,29 @@ def train(
       logger.write(record)
     if (epoch + 1) % save_model_frequency == 0 or epoch == num_epochs - 1:
       checkpointer.save(epoch, jax.device_get(state.params))
+      state_ckpt.save(epoch, jax.device_get(state))
+    if plot_every and (epoch + 1) % plot_every == 0:
+      _plot_samples(model, state.params, peek, output_dir, epoch)
 
   return state
+
+
+def _plot_samples(model, params, batch, output_dir: str,
+                  epoch: int) -> None:
+  """Sampled plans over the BEV input (reference train.py:269-298)."""
+  from oatomobile_tpu.utils import graphics
+  sample, context = make_context(model, batch)
+  plans = model.apply(params, jax.random.PRNGKey(epoch),
+                      method=model.sample, **context)
+  target = sample["player_future"][..., :2]
+  plot_dir = os.path.join(output_dir, "plots")
+  os.makedirs(plot_dir, exist_ok=True)
+  bev = jax.device_get(sample["visual_features"][0])
+  graphics.plot_trajectory_overlay(
+      bev,
+      {"sample": jax.device_get(plans[0]),
+       "ground_truth": jax.device_get(target[0])},
+      output_fname=os.path.join(plot_dir, "epoch_{}.png".format(epoch)))
 
 
 def main() -> None:
@@ -147,12 +188,19 @@ def main() -> None:
   parser.add_argument("--num_timesteps_to_keep", type=int, default=4)
   parser.add_argument("--clip_gradients", action="store_true")
   parser.add_argument("--seed", type=int, default=42)
+  parser.add_argument("--resume", action="store_true")
+  parser.add_argument("--plot_every", type=int, default=0)
+  parser.add_argument("--cpu", action="store_true")
   args = parser.parse_args()
+  if args.cpu:
+    from oatomobile_tpu.utils.platform import force_cpu
+    force_cpu()
   train(args.dataset_dir, args.output_dir, batch_size=args.batch_size,
         num_epochs=args.num_epochs, learning_rate=args.learning_rate,
         save_model_frequency=args.save_model_frequency,
         num_timesteps_to_keep=args.num_timesteps_to_keep,
-        clip_gradients=args.clip_gradients, seed=args.seed)
+        clip_gradients=args.clip_gradients, seed=args.seed,
+        resume=args.resume, plot_every=args.plot_every)
 
 
 if __name__ == "__main__":
