@@ -28,8 +28,16 @@ LOOKAHEAD = 2  # route points ahead used as the steering target (~4 m).
 
 
 def _vehicle_hazard(params: WorldParams, state: SceneState) -> jnp.ndarray:
-  """True when an alive NPC blocks the hero: same road & lane and within
-  the proximity threshold, ahead of the hero (|bearing| < 90 deg)."""
+  """True when an alive NPC blocks the hero.
+
+  Two tests, OR-ed:
+  - the reference rule: same road & lane, ahead, within the proximity
+    threshold (`_is_vehicle_hazard`, agent.py:185-224);
+  - a forward-corridor test (ahead < 8 m, |lateral| < 2.5 m) regardless of
+    lane bookkeeping.  The reference's lane-only rule is blind to crossing
+    traffic in junctions (a known cause of its T-bone collisions); the
+    corridor test is a deliberate robustness improvement.
+  """
   if state.num_npcs == 0:
     return jnp.asarray(False)
   hero_road = params.map["wp_road_id"][state.hero_wp]
@@ -41,11 +49,15 @@ def _vehicle_hazard(params: WorldParams, state: SceneState) -> jnp.ndarray:
 
   rel = state.npc_xy - state.hero_xy[None, :]
   dist = jnp.linalg.norm(rel, axis=-1)
-  fwd = (jnp.cos(state.hero_yaw) * rel[..., 0] +
-         jnp.sin(state.hero_yaw) * rel[..., 1])
+  cos_y, sin_y = jnp.cos(state.hero_yaw), jnp.sin(state.hero_yaw)
+  fwd = cos_y * rel[..., 0] + sin_y * rel[..., 1]
+  lat = -sin_y * rel[..., 0] + cos_y * rel[..., 1]
   ahead = fwd > 0.0  # is_within_distance_ahead: angle < 90 deg.
   near = dist < params.proximity_vehicle_threshold
-  return jnp.any(same & ahead & near & state.npc_alive)
+  lane_rule = same & ahead & near
+
+  corridor = (fwd > 0.0) & (fwd < 8.0) & (jnp.abs(lat) < 2.5)
+  return jnp.any((lane_rule | corridor) & state.npc_alive)
 
 
 def _red_light_hazard(params: WorldParams, state: SceneState,
@@ -78,6 +90,12 @@ def autopilot_policy(
   hazard = _vehicle_hazard(params, state) | _red_light_hazard(
       params, state, tl_states)
 
+  # NOTE: a junction-yield rule (brake before entering an occupied
+  # junction) was evaluated on the CARNOVEL sweep and *hurt* both success
+  # and collision rates in 100-vehicle traffic — stop-and-go in front of
+  # junctions trades T-bones for rear-endings and deadlocks.  The
+  # forward-corridor hazard above is the net-positive robustness fix.
+
   # Steering target: a route point slightly ahead of current progress.
   target_idx = jnp.clip(state.route_pos + LOOKAHEAD, 0, state.route_len - 1)
   target_xy = params.map["wp_xy"][state.route[target_idx]]
@@ -85,9 +103,21 @@ def autopilot_policy(
   steer, pid_lat = dynamics.lateral_control(state.pid_lat, state.hero_xy,
                                             state.hero_yaw, target_xy,
                                             params.dt)
+  # Curvature slow-down: scale target speed by heading error to the
+  # steering target (keeps the 20 km/h cruise but eases into turns).
+  to_t = target_xy - state.hero_xy
+  desired = jnp.arctan2(to_t[1], to_t[0])
+  err = jnp.abs(jnp.arctan2(jnp.sin(desired - state.hero_yaw),
+                            jnp.cos(desired - state.hero_yaw)))
+  speed_cmd = jnp.float32(target_speed) * jnp.clip(1.0 - 0.8 * err, 0.3,
+                                                   1.0)
+  # Stop at the end of the route (the reference's LocalPlanner drains its
+  # queue and coasts off-road; we brake to a halt at the destination).
+  at_end = state.route_pos >= state.route_len - 3
+  speed_cmd = jnp.where(at_end, 0.0, speed_cmd)
   throttle, pid_lon = dynamics.longitudinal_control(state.pid_lon,
                                                     state.hero_speed,
-                                                    jnp.float32(target_speed),
+                                                    speed_cmd,
                                                     params.dt)
 
   action = jnp.where(hazard, jnp.asarray([0.0, 0.0, 1.0]),

@@ -120,7 +120,7 @@ def test_autopilot_reaches_destination_vicinity(town, params):
   step = jax.jit(_autopilot_step)
   s = state
   d0 = float(jnp.linalg.norm(s.hero_xy - s.destination_xy))
-  for _ in range(600):
+  for _ in range(900):
     s = step(params, s)
   d1 = float(jnp.linalg.norm(s.hero_xy - s.destination_xy))
   assert float(s.collision) == 0.0
