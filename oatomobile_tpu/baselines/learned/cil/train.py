@@ -67,8 +67,8 @@ def train(
   mesh = mesh_lib.make_mesh() if use_mesh and jax.device_count() > 1 \
       else None
 
-  peek = next(CARLADataset.as_jax(dataset_dir, MODALITIES, batch_size=2,
-                                  mode=True, seed=seed))
+  peek = next(CARLADataset.make_loader(dataset_dir, MODALITIES,
+                                       batch_size=2, mode=True, seed=seed))
   _, context = make_context(model, peek)
   rng = jax.random.PRNGKey(seed)
   params = model.init(rng, **context)
@@ -92,9 +92,9 @@ def train(
   for epoch in range(num_epochs):
     losses = []
     t0 = time.time()
-    loader = CARLADataset.as_jax(dataset_dir, MODALITIES,
-                                 batch_size=batch_size, mode=True,
-                                 seed=seed + epoch)
+    loader = CARLADataset.make_loader(dataset_dir, MODALITIES,
+                                      batch_size=batch_size, mode=True,
+                                      seed=seed + epoch)
     for i, batch in enumerate(loader):
       if i >= max_steps_per_epoch:
         break

@@ -95,7 +95,8 @@ def train(
 
   # Initialise from one peek batch.
   peek = next(
-      CARLADataset.as_jax(dataset_dir, MODALITIES, batch_size=2, seed=seed))
+      CARLADataset.make_loader(dataset_dir, MODALITIES, batch_size=2,
+                               seed=seed))
   _, context = make_context(model, peek)
   rng = jax.random.PRNGKey(seed)
   y0 = jnp.zeros((2, num_timesteps_to_keep, 2))
@@ -133,8 +134,9 @@ def train(
   for epoch in range(start_epoch, num_epochs):
     losses = []
     t0 = time.time()
-    loader = CARLADataset.as_jax(dataset_dir, MODALITIES,
-                                 batch_size=batch_size, seed=seed + epoch)
+    loader = CARLADataset.make_loader(dataset_dir, MODALITIES,
+                                      batch_size=batch_size,
+                                      seed=seed + epoch)
     for i, batch in enumerate(loader):
       if i >= max_steps_per_epoch:
         break

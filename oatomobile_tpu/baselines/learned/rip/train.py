@@ -50,8 +50,8 @@ def train(
              JSONLLogger(os.path.join(output_dir, "logs"), "rip_train")]
 
   model = ImitativeModel(output_shape=(num_timesteps_to_keep, 2))
-  peek = next(CARLADataset.as_jax(dataset_dir, MODALITIES, batch_size=2,
-                                  seed=seed))
+  peek = next(CARLADataset.make_loader(dataset_dir, MODALITIES,
+                                       batch_size=2, seed=seed))
   _, context = make_context(model, peek)
   y0 = jnp.zeros((2, num_timesteps_to_keep, 2))
 
@@ -89,8 +89,9 @@ def train(
   for epoch in range(num_epochs):
     losses = []
     t0 = time.time()
-    loader = CARLADataset.as_jax(dataset_dir, MODALITIES,
-                                 batch_size=batch_size, seed=seed + epoch)
+    loader = CARLADataset.make_loader(dataset_dir, MODALITIES,
+                                      batch_size=batch_size,
+                                      seed=seed + epoch)
     for i, batch in enumerate(loader):
       if i >= max_steps_per_epoch:
         break

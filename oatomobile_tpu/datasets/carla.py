@@ -339,6 +339,87 @@ class CARLADataset(Dataset):
                 transparent=True)
     plt.close(fig)
 
+  # -- packed format -----------------------------------------------------------
+
+  @classmethod
+  def pack(
+      cls,
+      dataset_dir: str,
+      output_dir: str,
+      modalities: Sequence[str],
+      mode: bool = False,
+  ) -> int:
+    """Packs per-sample npz files into stacked .npy arrays (one per
+    modality) + a manifest — the fast-IO training format.
+
+    Per-sample compressed npz (the reference's on-disk layout,
+    core/dataset.py:51-56) costs a zlib inflate + python roundtrip per
+    sample per epoch; packed arrays are memory-mapped and batch assembly
+    is one fancy-index.  ~two orders of magnitude faster on a single-core
+    host.
+
+    Returns the number of samples packed.
+    """
+    import json as _json
+    os.makedirs(output_dir, exist_ok=True)
+    filenames = sorted(glob.glob(os.path.join(dataset_dir, "*.npz")))
+    if not filenames:
+      raise FileNotFoundError("No .npz files in {}".format(dataset_dir))
+    keys = list(modalities) + (["mode"] if mode else [])
+    buffers = {key: [] for key in keys}
+    for fname in filenames:
+      sample = cls.load_datum(fname, modalities, mode, dataformat="HWC")
+      for key in keys:
+        buffers[key].append(sample[key])
+    for key in keys:
+      np.save(os.path.join(output_dir, "{}.npy".format(key)),
+              np.stack(buffers[key]))
+    manifest = {"num_samples": len(filenames), "modalities": keys}
+    with open(os.path.join(output_dir, "manifest.json"), "w") as fp:
+      _json.dump(manifest, fp)
+    return len(filenames)
+
+  @classmethod
+  def as_jax_packed(
+      cls,
+      packed_dir: str,
+      batch_size: int,
+      shuffle: bool = True,
+      seed: int = 0,
+      drop_remainder: bool = True,
+  ) -> Generator[Mapping[str, np.ndarray], None, None]:
+    """Yields batches from a packed dataset via memory-mapped reads."""
+    import json as _json
+    with open(os.path.join(packed_dir, "manifest.json")) as fp:
+      manifest = _json.load(fp)
+    arrays = {
+        key: np.load(os.path.join(packed_dir, "{}.npy".format(key)),
+                     mmap_mode="r")
+        for key in manifest["modalities"]
+    }
+    n = manifest["num_samples"]
+    order = np.arange(n)
+    if shuffle:
+      np.random.RandomState(seed).shuffle(order)
+    stop = n - (n % batch_size) if drop_remainder else n
+    for start in range(0, stop, batch_size):
+      idx = np.sort(order[start:start + batch_size])
+      yield {key: np.asarray(arr[idx]) for key, arr in arrays.items()}
+
+  @staticmethod
+  def is_packed(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "manifest.json"))
+
+  @classmethod
+  def make_loader(cls, dataset_dir: str, modalities: Sequence[str],
+                  batch_size: int, mode: bool = False, seed: int = 0):
+    """Batch loader that auto-detects the packed format."""
+    if cls.is_packed(dataset_dir):
+      return cls.as_jax_packed(dataset_dir, batch_size=batch_size,
+                               seed=seed)
+    return cls.as_jax(dataset_dir, modalities, batch_size=batch_size,
+                      mode=mode, seed=seed)
+
   # -- framework adapters -----------------------------------------------------
 
   @classmethod
