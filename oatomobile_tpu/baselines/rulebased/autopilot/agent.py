@@ -8,8 +8,6 @@ simulator's device state, runs one jitted policy evaluation, and carries
 the PID/RNG state across steps.
 """
 
-from typing import Optional
-
 import jax
 import numpy as np
 

@@ -13,7 +13,7 @@ CARNOVEL: 27 tasks x 1500 steps -> 3 device calls (Towns 03/04/05).
 
 import json
 import os
-from typing import Callable, Dict, Mapping, Optional, Sequence
+from typing import Callable, Dict, Mapping, Optional
 
 import jax
 import jax.numpy as jnp

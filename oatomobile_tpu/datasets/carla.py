@@ -14,7 +14,7 @@ import glob
 import os
 import sys
 import zipfile
-from typing import Any, Callable, Generator, Mapping, Optional, Sequence, Union
+from typing import Any, Callable, Generator, Mapping, Optional, Sequence
 
 import numpy as np
 
@@ -179,14 +179,21 @@ class CARLADataset(Dataset):
           "control",
       ),
       seed: int = 0,
+      noise: float = 0.0,
   ) -> Sequence[str]:
     """TPU-native collection: one vmapped autopilot rollout produces
     `num_episodes` episodes in a single device computation, then flushes
     them to per-step npz files compatible with :meth:`process`.
 
+    Args:
+      noise: expert epsilon-noise (the reference's hosted dataset used
+        0.2 — datasets/carla.py:63-68).
+
     Returns the episode tokens written.
     """
+    import jax as _jax
     from oatomobile_tpu.envs.batched import BatchedEnv
+    from oatomobile_tpu.sim import autopilot_policy
 
     os.makedirs(output_dir, exist_ok=True)
     env = BatchedEnv(
@@ -194,11 +201,16 @@ class CARLADataset(Dataset):
         batch_size=num_episodes,
         sensors=sensors,
         num_vehicles=num_vehicles,
-        route_pool=num_episodes,
         seed=seed,
         auto_reset=False,
     )
-    _, collected, _ = env.rollout(num_steps, collect=tuple(sensors))
+    policy = None
+    if noise > 0.0:
+      def policy(params, states):  # noqa: E306
+        return _jax.vmap(
+            lambda s: autopilot_policy(params, s, noise=noise))(states)
+    _, collected, _ = env.rollout(num_steps, policy=policy,
+                                  collect=tuple(sensors))
     collected = {k: np.asarray(v) for k, v in collected.items()}
 
     from oatomobile_tpu.core.dataset import tokens as token_gen

@@ -10,12 +10,10 @@ The single-scene `CARLAEnv` (envs/carla.py) is the API-parity adapter; this
 class is what training/evaluation at scale should use.
 """
 
-import functools
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from oatomobile_tpu.maps import load_town
 from oatomobile_tpu.parallel import mesh as mesh_lib

@@ -12,7 +12,6 @@ import numpy as np
 
 from oatomobile_tpu.core.registry import registry
 from oatomobile_tpu.core.rl import Env, Metric, Transition, Wrapper
-from oatomobile_tpu.core.simulator import Observations
 from oatomobile_tpu.simulators.tpu import defaults
 from oatomobile_tpu.simulators.tpu.simulator import CARLAAction, TPUSimulator
 from oatomobile_tpu.utils import spaces

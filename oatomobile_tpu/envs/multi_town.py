@@ -12,10 +12,9 @@ every map access; with five towns the per-town programs are simpler and
 just as fast once compiled.)
 """
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from oatomobile_tpu.envs.batched import BatchedEnv
 from oatomobile_tpu.maps.towns import AVAILABLE_TOWNS

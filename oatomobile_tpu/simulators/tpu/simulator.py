@@ -11,7 +11,7 @@ read slices of the already-materialised observation dict.
 """
 
 import enum
-from typing import Any, Mapping, Optional, Sequence, Tuple
+from typing import Any, Mapping, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
