@@ -222,6 +222,96 @@ class CARLADataset(Dataset):
       written.append(episode.token)
     return written
 
+  @classmethod
+  def collect_packed(
+      cls,
+      town: str,
+      output_dir: str,
+      num_episodes: int = 64,
+      num_steps: int = 400,
+      modalities: Sequence[str] = (
+          "lidar",
+          "velocity",
+          "acceleration",
+          "is_at_traffic_light",
+          "traffic_light_state",
+          "goal",
+      ),
+      future_length: int = 80,
+      past_length: int = 20,
+      num_frame_skips: int = 5,
+      num_vehicles: int = 0,
+      noise: float = 0.0,
+      seed: int = 0,
+      chunk_episodes: int = 24,
+  ) -> int:
+    """Device-to-training-set pipeline: batched autopilot rollouts are
+    windowed (past/future ego-frame trajectories) *in memory* and written
+    straight to the packed format — no intermediate per-step npz files.
+
+    Equivalent to collect() + process() + pack() fused; for a 64-episode
+    dataset this skips ~25k compressed-npz round trips on the host.
+
+    Returns the number of training samples written.
+    """
+    import jax as _jax
+    import json as _json
+    from oatomobile_tpu.envs.batched import BatchedEnv
+    from oatomobile_tpu.ops import transforms as tf_ops_mod
+    from oatomobile_tpu.sim import autopilot_policy
+
+    os.makedirs(output_dir, exist_ok=True)
+    sensors = tuple(set(modalities) | {"location", "rotation"})
+    buffers: dict = {key: [] for key in list(modalities) +
+                     ["player_past", "player_future", "location",
+                      "rotation"]}
+
+    done = 0
+    while done < num_episodes:
+      n = min(chunk_episodes, num_episodes - done)
+      env = BatchedEnv(town=town, batch_size=n, sensors=sensors,
+                       num_vehicles=num_vehicles, seed=seed + done,
+                       auto_reset=False)
+      policy = None
+      if noise > 0.0:
+        def policy(params, states):  # noqa: E306
+          return _jax.vmap(lambda s: autopilot_policy(
+              params, s, noise=noise))(states)
+      _, collected, _ = env.rollout(num_steps, policy=policy,
+                                    collect=sensors)
+      collected = {k: np.asarray(v) for k, v in collected.items()}
+      done += n
+
+      locations = collected["location"]      # [T, B, 3]
+      rotations = collected["rotation"]      # [T, B, 3]
+      T, B = locations.shape[:2]
+      centers = np.arange(past_length, T - future_length, num_frame_skips)
+      for b in range(B):
+        loc_b = locations[:, b].astype(np.float64)
+        for i in centers:
+          past = tf_ops_mod.np_world2local(
+              current_location=loc_b[i], current_rotation=rotations[i, b],
+              world_locations=loc_b[i - past_length:i])
+          future = tf_ops_mod.np_world2local(
+              current_location=loc_b[i], current_rotation=rotations[i, b],
+              world_locations=loc_b[i + 1:i + future_length + 1])
+          buffers["player_past"].append(past.astype(np.float32))
+          buffers["player_future"].append(future.astype(np.float32))
+          buffers["location"].append(locations[i, b])
+          buffers["rotation"].append(rotations[i, b])
+          for key in modalities:
+            value = np.atleast_1d(collected[key][i, b]).astype(np.float32)
+            buffers[key].append(value)
+
+    keys = sorted(buffers.keys())
+    for key in keys:
+      np.save(os.path.join(output_dir, "{}.npy".format(key)),
+              np.stack(buffers[key]))
+    num_samples = len(buffers["player_future"])
+    with open(os.path.join(output_dir, "manifest.json"), "w") as fp:
+      _json.dump({"num_samples": num_samples, "modalities": keys}, fp)
+    return num_samples
+
   # -- processing -----------------------------------------------------------
 
   @staticmethod
