@@ -1,1 +1,1 @@
-"""Subpackage."""
+"""Core abstractions: simulator/rl/agent/loop/dataset/benchmark/registry."""

@@ -1,1 +1,5 @@
-"""Subpackage."""
+"""Sensor synthesis: state readouts, BEV, cameras, game state."""
+
+from oatomobile_tpu.sensors import cameras, synth
+
+__all__ = ["cameras", "synth"]

@@ -1,1 +1,1 @@
-"""Subpackage."""
+"""Utilities: spaces, loggers, checkpointing, graphics, profiling."""
