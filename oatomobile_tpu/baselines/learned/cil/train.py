@@ -32,7 +32,12 @@ MODALITIES = (
 
 
 def make_context(model: BehaviouralModel, batch):
-  sample = model.transform({k: jnp.asarray(v) for k, v in batch.items()})
+  arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+  arrays = {
+      k: v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v
+      for k, v in arrays.items()
+  }
+  sample = model.transform(arrays)
   context = {
       "visual_features": sample["visual_features"],
       "velocity": sample["velocity"],

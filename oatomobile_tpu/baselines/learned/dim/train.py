@@ -45,8 +45,14 @@ def nll_limit(output_shape, noise_std: float = NOISE_STD) -> float:
 
 def make_context(model: ImitativeModel, batch):
   """Applies model.transform and extracts context kwargs."""
-  sample = model.transform(
-      {k: jnp.asarray(v) for k, v in batch.items()})
+  arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+  # Quantised image modalities arrive as uint8 (4x cheaper host->device
+  # transfer); dequantise on device, inside the jitted step.
+  arrays = {
+      k: v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v
+      for k, v in arrays.items()
+  }
+  sample = model.transform(arrays)
   context = {
       "visual_features": sample["visual_features"],
       "velocity": sample["velocity"],

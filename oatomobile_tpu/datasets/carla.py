@@ -22,6 +22,43 @@ from oatomobile_tpu.core.dataset import Dataset, Episode
 from oatomobile_tpu.ops import transforms as tf_ops
 
 
+def _save_packed_arrays(output_dir: str, stacked) -> list:
+  """Saves stacked arrays; image-like float arrays in [0, 1] are stored as
+  uint8 (4x less IO; lossless for the BEV splat's 6 quantised levels).
+  Returns the list of quantised keys."""
+  quantized = []
+  for key, arr in stacked.items():
+    if (arr.dtype == np.float32 and arr.ndim >= 3 and
+        float(arr.min()) >= 0.0 and float(arr.max()) <= 1.0):
+      arr = np.round(arr * 255.0).astype(np.uint8)
+      quantized.append(key)
+    np.save(os.path.join(output_dir, "{}.npy".format(key)), arr)
+  return quantized
+
+
+def _prefetch_iterator(iterator, depth: int):
+  """Runs `iterator` in a daemon thread, buffering `depth` items."""
+  import queue
+  import threading
+
+  q: "queue.Queue" = queue.Queue(maxsize=depth)
+  sentinel = object()
+
+  def worker():
+    try:
+      for item in iterator:
+        q.put(item)
+    finally:
+      q.put(sentinel)
+
+  threading.Thread(target=worker, daemon=True).start()
+  while True:
+    item = q.get()
+    if item is sentinel:
+      return
+    yield item
+
+
 class CARLADataset(Dataset):
   """The autopilot expert demonstrations dataset."""
 
@@ -304,12 +341,12 @@ class CARLADataset(Dataset):
             buffers[key].append(value)
 
     keys = sorted(buffers.keys())
-    for key in keys:
-      np.save(os.path.join(output_dir, "{}.npy".format(key)),
-              np.stack(buffers[key]))
+    stacked = {key: np.stack(buffers[key]) for key in keys}
+    quantized = _save_packed_arrays(output_dir, stacked)
     num_samples = len(buffers["player_future"])
     with open(os.path.join(output_dir, "manifest.json"), "w") as fp:
-      _json.dump({"num_samples": num_samples, "modalities": keys}, fp)
+      _json.dump({"num_samples": num_samples, "modalities": keys,
+                  "quantized": quantized}, fp)
     return num_samples
 
   # -- processing -----------------------------------------------------------
@@ -473,10 +510,10 @@ class CARLADataset(Dataset):
       sample = cls.load_datum(fname, modalities, mode, dataformat="HWC")
       for key in keys:
         buffers[key].append(sample[key])
-    for key in keys:
-      np.save(os.path.join(output_dir, "{}.npy".format(key)),
-              np.stack(buffers[key]))
-    manifest = {"num_samples": len(filenames), "modalities": keys}
+    stacked = {key: np.stack(buffers[key]) for key in keys}
+    quantized = _save_packed_arrays(output_dir, stacked)
+    manifest = {"num_samples": len(filenames), "modalities": keys,
+                "quantized": quantized}
     with open(os.path.join(output_dir, "manifest.json"), "w") as fp:
       _json.dump(manifest, fp)
     return len(filenames)
@@ -489,11 +526,18 @@ class CARLADataset(Dataset):
       shuffle: bool = True,
       seed: int = 0,
       drop_remainder: bool = True,
+      dequantize: bool = False,
   ) -> Generator[Mapping[str, np.ndarray], None, None]:
-    """Yields batches from a packed dataset via memory-mapped reads."""
+    """Yields batches from a packed dataset via memory-mapped reads.
+
+    Quantised (uint8) image modalities are yielded as uint8 by default —
+    4x less host->device transfer; consumers divide by 255 *inside* jit
+    (free on device).  Pass dequantize=True for host-side float batches.
+    """
     import json as _json
     with open(os.path.join(packed_dir, "manifest.json")) as fp:
       manifest = _json.load(fp)
+    quantized = set(manifest.get("quantized", []))
     arrays = {
         key: np.load(os.path.join(packed_dir, "{}.npy".format(key)),
                      mmap_mode="r")
@@ -506,7 +550,13 @@ class CARLADataset(Dataset):
     stop = n - (n % batch_size) if drop_remainder else n
     for start in range(0, stop, batch_size):
       idx = np.sort(order[start:start + batch_size])
-      yield {key: np.asarray(arr[idx]) for key, arr in arrays.items()}
+      batch = {}
+      for key, arr in arrays.items():
+        value = np.asarray(arr[idx])
+        if key in quantized and dequantize:
+          value = value.astype(np.float32) / 255.0
+        batch[key] = value
+      yield batch
 
   @staticmethod
   def is_packed(path: str) -> bool:
@@ -514,13 +564,21 @@ class CARLADataset(Dataset):
 
   @classmethod
   def make_loader(cls, dataset_dir: str, modalities: Sequence[str],
-                  batch_size: int, mode: bool = False, seed: int = 0):
-    """Batch loader that auto-detects the packed format."""
+                  batch_size: int, mode: bool = False, seed: int = 0,
+                  prefetch: int = 0):
+    """Batch loader that auto-detects the packed format.
+
+    ``prefetch`` runs the loader in a background thread; measured
+    counterproductive on single-core hosts (GIL contention on the
+    fancy-index gather), so it defaults off — enable on multi-core."""
     if cls.is_packed(dataset_dir):
-      return cls.as_jax_packed(dataset_dir, batch_size=batch_size,
-                               seed=seed)
-    return cls.as_jax(dataset_dir, modalities, batch_size=batch_size,
+      it = cls.as_jax_packed(dataset_dir, batch_size=batch_size, seed=seed)
+    else:
+      it = cls.as_jax(dataset_dir, modalities, batch_size=batch_size,
                       mode=mode, seed=seed)
+    if prefetch <= 0:
+      return it
+    return _prefetch_iterator(it, prefetch)
 
   # -- framework adapters -----------------------------------------------------
 
