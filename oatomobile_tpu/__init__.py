@@ -13,8 +13,13 @@ from oatomobile_tpu.utils.platform import enable_compilation_cache as \
     _enable_compilation_cache
 
 # Persistent XLA compilation cache: makes repeat runs start in seconds
-# (critical under remote-compile TPU runtimes).  No-op if unsupported.
-_enable_compilation_cache()
+# (critical under remote-compile TPU runtimes).  No-op if unsupported;
+# opt out with OATOMOBILE_TPU_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("OATOMOBILE_TPU_NO_COMPILE_CACHE"):
+  _enable_compilation_cache()
+del _os
 from oatomobile_tpu import types
 from oatomobile_tpu.core.agent import Agent
 from oatomobile_tpu.core.benchmark import Benchmark
