@@ -53,8 +53,9 @@ _PTS_PER_CHANNEL = LIDAR_PPS // (LIDAR_ROT_HZ * LIDAR_CHANNELS)  # 312
 MAX_BEV_VEHICLES = 16
 MAX_BEV_PEDESTRIANS = 16
 # Static geometry rect budgets (nearest-first by point-to-rect distance).
-MAX_BEV_WALLS = 24
-MAX_BEV_BLOCKS = 12
+# Sized from per-town measurement (see nearest_rects docstring).
+MAX_BEV_WALLS = 16
+MAX_BEV_BLOCKS = 10
 
 
 def _pixel_centers() -> np.ndarray:
@@ -150,20 +151,24 @@ def _nearest_k(xy_rel: jnp.ndarray, alive: jnp.ndarray, k: int):
   return idx
 
 
-def nearest_rects(rects: jnp.ndarray, point: jnp.ndarray,
-                  k: int) -> jnp.ndarray:
+def nearest_rects(rects: jnp.ndarray, point: jnp.ndarray, k: int,
+                  max_range: float = METERS_MAX * 1.5) -> jnp.ndarray:
   """[k, 4] axis-aligned rects nearest to ``point`` by point-to-rect
   distance (so 80 m wall strips right next to the hero are selected even
-  though their centers are far).  Far selections are pushed out of range
-  so padded slots never rasterise."""
+  though their centers are far).  Selections beyond ``max_range`` are
+  pushed out so padded slots never rasterise.
+
+  ``max_range`` defaults to the BEV grid diagonal; consumers whose output
+  is range-masked at METERS_MAX (the `above` channel) can pass a tight
+  radius and a smaller k — budgets are sized from per-town measurements
+  (walls: <=15 within 52 m; blocks: <=10 within 75 m, all towns)."""
   dx = jnp.maximum(jnp.abs(point[0] - rects[:, 0]) - rects[:, 2], 0.0)
   dy = jnp.maximum(jnp.abs(point[1] - rects[:, 1]) - rects[:, 3], 0.0)
   d = jnp.sqrt(dx * dx + dy * dy)
   k = min(k, rects.shape[0])
   neg_d, idx = jax.lax.top_k(-d, k)
   sel = rects[idx]
-  # Invalidate selections entirely out of LIDAR range.
-  valid = (-neg_d) <= (METERS_MAX * 1.5)
+  valid = (-neg_d) <= max_range
   return jnp.where(valid[:, None], sel,
                    jnp.full_like(sel, -1e6).at[:, 2:].set(0.0))
 
@@ -192,7 +197,8 @@ def splat_lidar(params, state) -> jnp.ndarray:
   # -- Building walls: the only static surfaces a LIDAR returns from.
   # Rect tests, not raster gathers: 40k random 1-element HBM loads per
   # scene per step would serialise on TPU.
-  wall_sel = nearest_rects(params.map["wall_rects"], hero_xy, MAX_BEV_WALLS)
+  wall_sel = nearest_rects(params.map["wall_rects"], hero_xy, MAX_BEV_WALLS,
+                           max_range=METERS_MAX * 1.04)
   buildings = rects_occupancy(grid_world, wall_sel)
   # Solid obstacle interiors: no ground returns there (occluded).
   block_sel = nearest_rects(params.map["block_rects"], hero_xy,

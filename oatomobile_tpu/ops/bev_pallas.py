@@ -203,7 +203,8 @@ def gather_inputs(params, state):
       jnp.sin(state.hero_yaw)
   ])
   walls = bev_ref.nearest_rects(params.map["wall_rects"], state.hero_xy,
-                                bev_ref.MAX_BEV_WALLS)
+                                bev_ref.MAX_BEV_WALLS,
+                                max_range=bev_ref.METERS_MAX * 1.04)
   blocks = bev_ref.nearest_rects(params.map["block_rects"], state.hero_xy,
                                  bev_ref.MAX_BEV_BLOCKS)
 
