@@ -57,7 +57,18 @@ def _vehicle_hazard(params: WorldParams, state: SceneState) -> jnp.ndarray:
   lane_rule = same & ahead & near
 
   corridor = (fwd > 0.0) & (fwd < 8.0) & (jnp.abs(lat) < 2.5)
-  return jnp.any((lane_rule | corridor) & state.npc_alive)
+
+  # Intercept prediction: where will each NPC be relative to the hero in
+  # ~1 s under constant velocities?  Catches crossing traffic before it
+  # enters the instantaneous corridor.
+  npc_vel = state.npc_speed[:, None] * jnp.stack(
+      [jnp.cos(state.npc_yaw), jnp.sin(state.npc_yaw)], axis=-1)
+  rel_fut = rel + (npc_vel - state.hero_vel[None, :]) * 1.0
+  fwd_f = cos_y * rel_fut[..., 0] + sin_y * rel_fut[..., 1]
+  lat_f = -sin_y * rel_fut[..., 0] + cos_y * rel_fut[..., 1]
+  intercept = (fwd_f > -1.0) & (fwd_f < 8.0) & (jnp.abs(lat_f) < 2.5)
+
+  return jnp.any((lane_rule | corridor | intercept) & state.npc_alive)
 
 
 def _red_light_hazard(params: WorldParams, state: SceneState,

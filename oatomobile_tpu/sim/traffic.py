@@ -94,19 +94,32 @@ def npc_step(params: WorldParams, state: SceneState,
                              params.map["wp_speed_limit"][wp])
   target_speed = target_speed * jnp.clip(1.0 - jnp.abs(err), 0.3, 1.0)
 
-  # Car-following: any alive vehicle (or the hero) ahead within 10 m in a
-  # ~lane-wide corridor -> stop.  All-pairs in the NPC frame.
+  # Car-following + intercept prediction: stop for any alive vehicle (or
+  # the hero) that is in a lane-wide forward corridor NOW or will be in
+  # ~1 s under constant velocity (catches crossing traffic at junctions,
+  # which a position-only check sees too late).  All-pairs, NPC frame.
   other_xy = jnp.concatenate([xy, state.hero_xy[None]], axis=0)  # [K+1, 2]
+  heading = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)
+  other_vel = jnp.concatenate([
+      speed[:, None] * heading,
+      state.hero_vel[None, :] if state.hero_vel.ndim == 1 else
+      state.hero_vel[None],
+  ], axis=0)
+  self_vel = speed[:, None] * heading
   rel = other_xy[None, :, :] - xy[:, None, :]                    # [K, K+1, 2]
+  rel_vel = other_vel[None, :, :] - self_vel[:, None, :]
   cos_y, sin_y = jnp.cos(yaw), jnp.sin(yaw)
-  fwd = cos_y[:, None] * rel[..., 0] + sin_y[:, None] * rel[..., 1]
-  lat = -sin_y[:, None] * rel[..., 0] + cos_y[:, None] * rel[..., 1]
   other_alive = jnp.concatenate([alive, jnp.ones((1,), bool)], axis=0)
-  blocked_by = ((fwd > 0.5) & (fwd < params.proximity_vehicle_threshold) &
-                (jnp.abs(lat) < 2.0) & other_alive[None, :])
-  # A vehicle never blocks itself (diagonal).
-  blocked_by = blocked_by & ~jnp.eye(K, K + 1, dtype=bool)
-  blocked = jnp.any(blocked_by, axis=-1)
+  not_self = ~jnp.eye(K, K + 1, dtype=bool)
+
+  def in_corridor(r):
+    fwd = cos_y[:, None] * r[..., 0] + sin_y[:, None] * r[..., 1]
+    lat = -sin_y[:, None] * r[..., 0] + cos_y[:, None] * r[..., 1]
+    return ((fwd > 0.5) & (fwd < params.proximity_vehicle_threshold) &
+            (jnp.abs(lat) < 2.0))
+
+  blocked_by = (in_corridor(rel) | in_corridor(rel + rel_vel * 1.0))
+  blocked = jnp.any(blocked_by & other_alive[None, :] & not_self, axis=-1)
 
   governed, tl_state = light_for_waypoint(params, wp, tl_states)
   red = governed & (tl_state != TL_GREEN)
