@@ -92,7 +92,13 @@ def main() -> None:
   parser.add_argument("--algorithm", default="WCM",
                       choices=("WCM", "MA", "BCM"))
   parser.add_argument("--monitor", action="store_true")
+  parser.add_argument("--cpu", action="store_true",
+                      help="force the CPU backend (fast compiles)")
   args = parser.parse_args()
+
+  if args.cpu:
+    from oatomobile_tpu.utils.platform import force_cpu
+    force_cpu()
 
   if args.benchmark == "carnovel":
     from oatomobile_tpu.benchmarks import carnovel as bench
