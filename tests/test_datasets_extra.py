@@ -1,0 +1,64 @@
+"""Tests for the packed dataset format and dataset visualisation."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from oatomobile_tpu.datasets.carla import CARLADataset
+
+
+@pytest.fixture(scope="module")
+def packed_dataset(tmp_path_factory):
+  out = str(tmp_path_factory.mktemp("packed"))
+  n = CARLADataset.collect_packed(
+      "Town02", out, num_episodes=2, num_steps=120, num_frame_skips=10,
+      seed=21)
+  assert n > 0
+  return out
+
+
+def test_quantization_error_is_bounded(packed_dataset):
+  # uint8 storage bounds the dequantisation error by 1/(2*255) ~ 0.2%;
+  # the below channel's 6 discrete levels (k/5) are exactly representable.
+  raw = np.load(os.path.join(packed_dataset, "lidar.npy"))
+  assert raw.dtype == np.uint8
+  batch = next(CARLADataset.as_jax_packed(packed_dataset, batch_size=2,
+                                          dequantize=True))
+  lidar = batch["lidar"]
+  assert lidar.min() >= 0.0 and lidar.max() <= 1.0
+  below = lidar[..., 0]
+  err = np.min(np.abs(below[..., None] - np.arange(6) / 5.0), axis=-1)
+  assert err.max() < 1.0 / 255.0
+
+
+def test_packed_loader_uint8_by_default(packed_dataset):
+  batch = next(CARLADataset.as_jax_packed(packed_dataset, batch_size=2))
+  assert batch["lidar"].dtype == np.uint8
+  assert batch["player_future"].dtype == np.float32
+
+
+def test_packed_windows_are_ego_frame(packed_dataset):
+  batch = next(CARLADataset.as_jax_packed(packed_dataset, batch_size=4,
+                                          shuffle=False))
+  future = batch["player_future"]
+  # Ego-frame future starts near the origin and moves mostly forward.
+  assert np.abs(future[:, 0]).max() < 2.0
+  assert future[:, -1, 0].mean() > -1.0
+
+
+def test_plot_datum_and_coverage(tmp_path):
+  # Build a tiny per-sample dataset, then exercise the plotting utils.
+  raw = str(tmp_path / "raw")
+  processed = str(tmp_path / "processed")
+  CARLADataset.collect_batched("Town02", raw, num_episodes=1,
+                               num_steps=115, seed=3)
+  CARLADataset.process(raw, processed, num_frame_skips=20)
+  fnames = glob.glob(os.path.join(processed, "*.npz"))
+  assert fnames
+  out = str(tmp_path / "viz")
+  CARLADataset.plot_datum(fnames[0], out)
+  assert os.path.exists(os.path.join(out, "lidar.png"))
+  CARLADataset.plot_coverage(processed, str(tmp_path / "coverage.png"))
+  assert os.path.exists(str(tmp_path / "coverage.png"))
