@@ -53,32 +53,45 @@ def rip_plan(model: ImitativeModel, stacked_params, goal, context, *,
   optimizer = optax.adam(lr)
 
   def posterior(params_k, z_k, y):
+    """Per-scene posterior [B] under ensemble member k."""
     prior = model.apply(params_k, y, z_k,
-                        method=model.imitation_prior_from_z)
-    gl = model.goal_likelihood(y, goal, epsilon=epsilon)
+                        method=model.imitation_prior_from_z)  # [B]
+    gl = model.goal_likelihood(y, goal, epsilon=epsilon)  # [B]
     return prior + gl
 
   def loss_fn(x):
+    """Per-scene aggregated negative posterior [B].
+
+    The reference's min/max/mean over models (rip/agent.py:121-127) is
+    taken *per scene* over the K axis — every scene gets its own
+    worst/best-case-model objective, not one global scalar.  (Note the
+    reference's naming quirk is preserved: WCM=min over the *negated*
+    posteriors = the most optimistic bound of the loss; see PARITY.md.)
+    """
     y = model.apply(params0, x, z0, method=model.decode)
     posteriors = jax.vmap(posterior, in_axes=(0, 0, None))(stacked_params,
-                                                           zs, y)
+                                                           zs, y)  # [K, B]
     if algorithm == "WCM":
-      return jnp.min(-posteriors)
+      return jnp.min(-posteriors, axis=0)
     if algorithm == "BCM":
-      return jnp.max(-posteriors)
-    return jnp.mean(-posteriors)
+      return jnp.max(-posteriors, axis=0)
+    return jnp.mean(-posteriors, axis=0)
 
   def step(carry, _):
     x, opt_state, x_best, loss_best = carry
-    loss, grads = jax.value_and_grad(loss_fn)(x)
+    loss, pullback = jax.vjp(loss_fn, x)
+    grads = pullback(jnp.ones_like(loss))[0]
     updates, opt_state = optimizer.update(grads, opt_state, x)
     new_x = optax.apply_updates(x, updates)
-    better = loss < loss_best
-    x_best = jnp.where(better, x, x_best)
+    better = loss < loss_best  # [B]
+    x_best = jnp.where(better[:, None, None], x, x_best)
     loss_best = jnp.where(better, loss, loss_best)
     return (new_x, opt_state, x_best, loss_best), loss
 
-  init = (x0, optimizer.init(x0), x0, jnp.float32(1000.0))
+  # +inf init (not the reference's 1000.0): the first evaluated plan always
+  # becomes the incumbent — see models/dim.py `plan`.
+  init = (x0, optimizer.init(x0), x0,
+          jnp.full((batch_size,), jnp.inf, jnp.float32))
   (_, _, x_best, _), _ = jax.lax.scan(step, init, None, length=num_steps)
   return model.apply(params0, x_best, z0, method=model.decode)
 

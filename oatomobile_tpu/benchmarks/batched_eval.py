@@ -103,11 +103,15 @@ def evaluate_batched(
     params = make_params(town)
     ids = [t for t, _ in group]
     configs = [c for _, c in group]
-    num_vehicles = max(int(c.get("num_vehicles", 0)) for c in configs)
+    # Actor arrays pad to the group max but alive-mask down per task: each
+    # task is evaluated with its OWN configured traffic density.
     states = init_scene_batch(
         town,
         len(group),
-        num_vehicles=num_vehicles,
+        num_vehicles=np.asarray(
+            [int(c.get("num_vehicles", 0)) for c in configs]),
+        num_pedestrians=np.asarray(
+            [int(c.get("num_pedestrians", 0)) for c in configs]),
         route_capacity=2048,
         seed=0,
         spawn_points=np.asarray([c["origin"] for c in configs]),

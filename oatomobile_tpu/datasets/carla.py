@@ -22,14 +22,25 @@ from oatomobile_tpu.core.dataset import Dataset, Episode
 from oatomobile_tpu.ops import transforms as tf_ops
 
 
+# Image modalities eligible for uint8 packing.  An explicit allowlist, not
+# a value-range heuristic: a [N,T,2] trajectory of a mostly-stationary run
+# can land in [0,1] by accident and must never be rounded to a 1/255 grid
+# (and per-shard min/max decisions could make shards disagree on dtype).
+_QUANTIZABLE_MODALITIES = frozenset({
+    "lidar", "bird_view_camera_rgb", "bird_view_camera_cityscapes",
+    "front_camera_rgb", "rear_camera_rgb", "left_camera_rgb",
+    "right_camera_rgb", "game_state",
+})
+
+
 def _save_packed_arrays(output_dir: str, stacked) -> list:
-  """Saves stacked arrays; image-like float arrays in [0, 1] are stored as
-  uint8 — 4x less IO and host->device transfer.  Error bound 1/510
-  (~0.2%); the BEV below-channel's six discrete levels are exact.
+  """Saves stacked arrays; allowlisted image modalities in [0, 1] are
+  stored as uint8 — 4x less IO and host->device transfer.  Error bound
+  1/510 (~0.2%); the BEV below-channel's six discrete levels are exact.
   Returns the list of quantised keys."""
   quantized = []
   for key, arr in stacked.items():
-    if (arr.dtype == np.float32 and arr.ndim >= 3 and
+    if (key in _QUANTIZABLE_MODALITIES and arr.dtype == np.float32 and
         float(arr.min()) >= 0.0 and float(arr.max()) <= 1.0):
       arr = np.round(arr * 255.0).astype(np.uint8)
       quantized.append(key)

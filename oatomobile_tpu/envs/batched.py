@@ -109,7 +109,11 @@ class BatchedEnv:
     capture would bake megabytes of initial state into the HLO as
     constants, which blows up compile times superlinearly in batch size.
     """
-    fresh = jax.vmap(jax.random.fold_in)(initial.rng, state.step)
+    # Fold from the LIVE rng so reset streams chain: folding from
+    # initial.rng would hand any scene whose episodes always end at the
+    # same step count (fixed horizon, deterministic collision) the same key
+    # every time, replaying one episode forever.
+    fresh = jax.vmap(jax.random.fold_in)(state.rng, state.step)
 
     def pick(init_leaf, live_leaf):
       d = done.reshape(done.shape + (1,) * (live_leaf.ndim - 1))
@@ -178,6 +182,9 @@ class BatchedEnv:
     Returns:
       (final_state, collected dict, episode_stats dict).
     """
+    # The cache holds a strong reference to `policy` (stored in the value),
+    # so an id() can never be recycled by a new policy while its compiled
+    # rollout is alive.
     key = (num_steps, tuple(collect), tuple(compute),
            None if policy is None else id(policy))
     if key not in self._rollout_cache:
@@ -240,10 +247,10 @@ class BatchedEnv:
                                                  length=num_steps)
         return final, collected, stats
 
-      self._rollout_cache[key] = jax.jit(run, donate_argnums=(2,))
+      self._rollout_cache[key] = (policy, jax.jit(run, donate_argnums=(2,)))
 
-    final, collected, stats = self._rollout_cache[key](self._params,
-                                                       self._initial,
-                                                       self._state)
+    _, run_fn = self._rollout_cache[key]
+    final, collected, stats = run_fn(self._params, self._initial,
+                                     self._state)
     self._state = final
     return final, collected, stats

@@ -69,8 +69,15 @@ class ImitativeModel(nn.Module):
 
   def imitation_prior_from_z(self, y: jnp.ndarray,
                              z: jnp.ndarray) -> jnp.ndarray:
+    """Per-scene imitation prior [B].
+
+    The reference computes a scalar ``.mean()`` (dim/model.py:126) — but it
+    only ever plans one scene at a time; batched planning must keep the
+    per-scene value so every scene optimises its own posterior rather than
+    a batch-coupled objective.
+    """
     _, log_prob, logabsdet = self._decoder._inverse(y, z)
-    return jnp.mean(log_prob - logabsdet)
+    return log_prob - logabsdet
 
   def decode(self, x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     y, _ = self._decoder._forward(x, z)
@@ -88,15 +95,16 @@ class ImitativeModel(nn.Module):
                       epsilon: float = 1.0) -> jnp.ndarray:
     """Mixture-of-normals goal log-likelihood of the plan endpoint
     (model.py:143-171): GMM over K goals with isotropic scale epsilon,
-    evaluated at y[..., -1, :], averaged over batch."""
+    evaluated at y[..., -1, :].  Returns the per-scene value [B] (the
+    reference's batch ``.mean()`` is only correct for B=1 — see
+    `imitation_prior_from_z`)."""
     B, K, D = goal.shape
     endpoint = y[..., -1, :]  # [B, D]
     diff = endpoint[:, None, :] - goal  # [B, K, D]
     comp_logp = (-0.5 * jnp.sum((diff / epsilon)**2, axis=-1) -
                  D * jnp.log(epsilon) - 0.5 * D * jnp.log(2 * jnp.pi))
     # Equal mixture weights (Categorical(ones) -> 1/K).
-    mix_logp = jax.scipy.special.logsumexp(comp_logp, axis=-1) - jnp.log(K)
-    return jnp.mean(mix_logp, axis=0)
+    return jax.scipy.special.logsumexp(comp_logp, axis=-1) - jnp.log(K)
 
   # -- planning ("forward" of the reference) -------------------------------------
 
@@ -123,25 +131,35 @@ class ImitativeModel(nn.Module):
     optimizer = optax.adam(lr)
 
     def loss_fn(x):
+      """Per-scene negative posterior [B]; the scalar sum feeds autodiff
+      (each scene's x slice only enters its own term, so the gradient is
+      exactly the per-scene gradient — unlike the reference's batch mean,
+      correct only at B=1)."""
       y, _ = self._decoder._forward(x, z)
       _, log_prob, logabsdet = self._decoder._inverse(y, z)
-      imitation_prior = jnp.mean(log_prob - logabsdet)
+      imitation_prior = log_prob - logabsdet  # [B]
       gl = 0.0
       if goal is not None:
-        gl = self.goal_likelihood(y, goal, epsilon=epsilon)
+        gl = self.goal_likelihood(y, goal, epsilon=epsilon)  # [B]
       return -(imitation_prior + gl)
 
     def step(carry, _):
       x, opt_state, x_best, loss_best = carry
-      loss, grads = jax.value_and_grad(loss_fn)(x)
+      loss, pullback = jax.vjp(loss_fn, x)
+      grads = pullback(jnp.ones_like(loss))[0]
       updates, opt_state = optimizer.update(grads, opt_state, x)
       new_x = optax.apply_updates(x, updates)
-      better = loss < loss_best
-      x_best = jnp.where(better, x, x_best)
+      better = loss < loss_best  # [B]
+      x_best = jnp.where(better[:, None, None], x, x_best)
       loss_best = jnp.where(better, loss, loss_best)
       return (new_x, opt_state, x_best, loss_best), loss
 
-    init = (x0, optimizer.init(x0), x0, jnp.float32(1000.0))
+    # `loss_best` starts at +inf so the first evaluated plan always becomes
+    # the incumbent (the reference's 1000.0 init, rip/agent.py:100, keeps
+    # the untouched zeros-init whenever an untrained flow's losses all
+    # exceed 1000 — documented deviation, PARITY.md).
+    init = (x0, optimizer.init(x0), x0,
+            jnp.full((batch_size,), jnp.inf, jnp.float32))
     (x, _, x_best, _), _ = jax.lax.scan(step, init, None, length=num_steps)
     y, _ = self._decoder._forward(x_best, z)
     return y

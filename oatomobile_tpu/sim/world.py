@@ -242,8 +242,8 @@ def init_scene_batch(
     town: TownMap,
     batch_size: int,
     *,
-    num_vehicles: int = 0,
-    num_pedestrians: int = 0,
+    num_vehicles=0,
+    num_pedestrians=0,
     route_capacity: int = DEFAULT_ROUTE_CAPACITY,
     seed: int = 0,
     spawn_points: Optional[np.ndarray] = None,
@@ -255,12 +255,20 @@ def init_scene_batch(
   (oatomobile_tpu/native/route_planner.cc); everything else is vectorised
   numpy — batch init is O(ms) even at 1024 scenes, so every scene gets a
   *unique* (origin, destination, traffic) draw.
+
+  ``num_vehicles`` / ``num_pedestrians`` may be per-scene arrays [B]: actor
+  arrays are padded to the batch max and alive-masked down per scene, so
+  heterogeneous task configs (benchmark suites) keep their own traffic
+  density inside one batch.
   """
   from oatomobile_tpu.maps.routing import plan_route_batch
 
   rng = np.random.RandomState(seed)
   B = int(batch_size)
   S = town.num_spawn_points
+
+  nv = np.broadcast_to(np.asarray(num_vehicles, np.int32), (B,))
+  npd = np.broadcast_to(np.asarray(num_pedestrians, np.int32), (B,))
 
   sp = (rng.randint(S, size=B) if spawn_points is None
         else np.asarray(spawn_points) % S)
@@ -277,7 +285,7 @@ def init_scene_batch(
   dest_xy = town.wp_xy[dest_wps]
 
   # NPCs: per-scene distinct spawn indices, excluding the hero's.
-  K = int(num_vehicles)
+  K = int(nv.max()) if B else 0
   npc_xy = np.zeros((B, K, 2), np.float32)
   npc_yaw = np.zeros((B, K), np.float32)
   npc_wp = np.zeros((B, K), np.int32)
@@ -293,18 +301,20 @@ def init_scene_batch(
     npc_xy[:] = town.wp_xy[wp]
     npc_yaw[:] = town.wp_yaw[wp]
     npc_wp[:] = town.wp_next[wp, 0]
-    npc_alive[:] = True
+    # Alive-mask down to each scene's own vehicle count.
+    npc_alive[:] = np.arange(K)[None, :] < nv[:, None]
 
-  P = int(num_pedestrians)
+  P = int(npd.max()) if B else 0
   ped_xy = np.zeros((B, P, 2), np.float32)
   ped_yaw = np.zeros((B, P), np.float32)
-  ped_alive = np.ones((B, P), bool)
+  ped_alive = np.zeros((B, P), bool)
   if P > 0:
     free = np.nonzero(~town.road_mask & ~town.obstacle_mask)
     sel = rng.randint(len(free[0]), size=(B, P))
     ped_xy[..., 0] = town.raster_origin[0] + free[0][sel] / town.raster_ppm
     ped_xy[..., 1] = town.raster_origin[1] + free[1][sel] / town.raster_ppm
     ped_yaw[:] = rng.uniform(-np.pi, np.pi, size=(B, P))
+    ped_alive[:] = np.arange(P)[None, :] < npd[:, None]
 
   keys = jax.vmap(jax.random.PRNGKey)(
       jnp.arange(seed, seed + B, dtype=jnp.uint32))

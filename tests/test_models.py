@@ -142,3 +142,79 @@ def test_dim_plan_improves_goal_reaching(rng):
   d0 = np.linalg.norm(np.asarray(plan0)[0, -1] - np.asarray([3.0, 1.0]))
   dN = np.linalg.norm(np.asarray(planN)[0, -1] - np.asarray([3.0, 1.0]))
   assert dN < d0
+
+
+def test_dim_plan_is_per_scene_independent(rng):
+  # Batched planning must equal per-scene planning: scene b's plan depends
+  # only on scene b's context/goal (the reference's batch-mean objective is
+  # only correct at B=1).
+  model = ImitativeModel(output_shape=(4, 2))
+  ctx = _dim_context(batch=2)
+  ctx["velocity"] = jnp.asarray([[1.0, 0.0, 0.0], [4.0, 0.0, 0.0]])
+  y = jnp.zeros((2, 4, 2))
+  params = model.init(rng, y, method=model.log_prob, **ctx)
+  goal = jnp.stack([
+      jnp.tile(jnp.asarray([[6.0, 2.0]]), (10, 1)),
+      jnp.tile(jnp.asarray([[-3.0, -5.0]]), (10, 1)),
+  ])
+
+  batched = model.apply(params, num_steps=8, goal=goal, lr=0.1, epsilon=0.5,
+                        method=model.plan, **ctx)
+  for b in range(2):
+    ctx_b = {k: v[b:b + 1] for k, v in ctx.items()}
+    single = model.apply(params, num_steps=8, goal=goal[b:b + 1], lr=0.1,
+                         epsilon=0.5, method=model.plan, **ctx_b)
+    np.testing.assert_allclose(np.asarray(batched[b]),
+                               np.asarray(single[0]), atol=1e-4)
+  # The two scenes got genuinely different plans.
+  assert np.abs(np.asarray(batched[0]) - np.asarray(batched[1])).max() > 0.5
+
+
+def test_dim_plan_untrained_model_tracks_best_iterate(rng):
+  # loss_best starts at +inf, so even an untrained flow (whose losses may
+  # all exceed the reference's 1000.0 init) returns an optimised plan, not
+  # the untouched zeros-init decode.
+  model = ImitativeModel(output_shape=(4, 2))
+  ctx = _dim_context(batch=1)
+  y = jnp.zeros((1, 4, 2))
+  params = model.init(rng, y, method=model.log_prob, **ctx)
+  # Far goal with tiny epsilon: the goal term dominates and every loss is
+  # astronomically positive (>> 1000) for an untrained model.
+  goal = jnp.tile(jnp.asarray([[400.0, 0.0]]), (1, 10, 1))
+  plan0 = model.apply(params, num_steps=1, goal=goal, lr=0.0, epsilon=1e-3,
+                      method=model.plan, **ctx)
+  planN = model.apply(params, num_steps=40, goal=goal, lr=0.5, epsilon=1e-3,
+                      method=model.plan, **ctx)
+  d0 = np.linalg.norm(np.asarray(plan0)[0, -1] - np.asarray([400.0, 0.0]))
+  dN = np.linalg.norm(np.asarray(planN)[0, -1] - np.asarray([400.0, 0.0]))
+  assert dN < d0  # best-tracking engaged despite losses > 1000
+
+
+def test_rip_plan_is_per_scene_independent(rng):
+  from oatomobile_tpu.baselines.learned.rip.agent import (rip_plan,
+                                                          stack_ensemble)
+  model = ImitativeModel(output_shape=(4, 2))
+  ctx = _dim_context(batch=2)
+  ctx["velocity"] = jnp.asarray([[2.0, 0.0, 0.0], [5.0, 0.0, 0.0]])
+  y = jnp.zeros((2, 4, 2))
+  params_list = [
+      model.init(jax.random.PRNGKey(s), y, method=model.log_prob, **ctx)
+      for s in (0, 1, 2)
+  ]
+  stacked = stack_ensemble(params_list)
+  goal = jnp.stack([
+      jnp.tile(jnp.asarray([[5.0, 1.0]]), (10, 1)),
+      jnp.tile(jnp.asarray([[-4.0, 3.0]]), (10, 1)),
+  ])
+
+  for algorithm in ("WCM", "MA", "BCM"):
+    batched = rip_plan(model, stacked, goal, ctx, algorithm=algorithm,
+                       num_steps=6, lr=0.1, epsilon=0.5)
+    for b in range(2):
+      ctx_b = {k: v[b:b + 1] for k, v in ctx.items()}
+      single = rip_plan(model, stacked, goal[b:b + 1], ctx_b,
+                        algorithm=algorithm, num_steps=6, lr=0.1,
+                        epsilon=0.5)
+      np.testing.assert_allclose(np.asarray(batched[b]),
+                                 np.asarray(single[0]), atol=1e-4,
+                                 err_msg=algorithm)
