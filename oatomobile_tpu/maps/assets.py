@@ -63,12 +63,19 @@ class TownMap:
   wall_mask: np.ndarray      # [H, Wd] bool street-facing building walls
   nearest_wp: np.ndarray     # [H, Wd] i32 nearest waypoint id per cell
 
-  # Static geometry as axis-aligned rects (cx, cy, hx, hy) — the TPU hot
-  # path uses these instead of raster gathers (random 1-element HBM loads
-  # are pathological on TPU):
-  wall_rects: np.ndarray = None     # [Rw, 4] street-facing wall bands
-  block_rects: np.ndarray = None    # [Rb, 4] solid building blocks
-  road_rects: np.ndarray = None     # [Rr, 4] drivable street corridors
+  # Static geometry as ORIENTED rects (cx, cy, hx, hy, cos t, sin t) — the
+  # TPU hot path uses these instead of raster gathers (random 1-element HBM
+  # loads are pathological on TPU).  Oriented (not axis-aligned) so curved
+  # roads/roundabouts decompose into a handful of chords:
+  wall_rects: np.ndarray = None     # [Rw, 6] street-facing wall bands
+  road_rects: np.ndarray = None     # [Rr, 6] drivable corridors (chords)
+  # [S] i32 spec-edge index each spawn point sits on (feature lookups for
+  # benchmark spawn pinning); -1 for legacy caches.
+  spawn_edge: np.ndarray = None
+  # Measured rect budgets: the max number of wall rects within 52 m / road
+  # rects within 75 m of any lane waypoint (BEV selection counts).
+  wall_budget: int = 24
+  road_budget: int = 16
 
   _device: Optional[dict] = dataclasses.field(default=None, repr=False)
 
@@ -123,7 +130,6 @@ class TownMap:
           obstacle_mask=jnp.asarray(self.obstacle_mask),
           wall_mask=jnp.asarray(self.wall_mask),
           wall_rects=jnp.asarray(self.wall_rects, dtype=jnp.float32),
-          block_rects=jnp.asarray(self.block_rects, dtype=jnp.float32),
           road_rects=jnp.asarray(self.road_rects, dtype=jnp.float32),
           nearest_wp=jnp.asarray(self.nearest_wp, dtype=jnp.int32),
           lane_width=jnp.float32(self.lane_width),

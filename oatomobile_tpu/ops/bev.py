@@ -48,14 +48,21 @@ LIDAR_LOWER_FOV = -30.0
 # Points per channel per rotation.
 _PTS_PER_CHANNEL = LIDAR_PPS // (LIDAR_ROT_HZ * LIDAR_CHANNELS)  # 312
 
+# Sidewalk clear margin beyond the road edge (maps/builder.py SIDEWALK) —
+# ground returns extend this far past the corridor before walls occlude.
+_SIDEWALK = 2.0
+
 # How many BEV NPC boxes are rasterised (nearest-first); vehicles beyond
 # the 50 m range never contribute.
 MAX_BEV_VEHICLES = 16
 MAX_BEV_PEDESTRIANS = 16
 # Static geometry rect budgets (nearest-first by point-to-rect distance).
-# Sized from per-town measurement (see nearest_rects docstring).
-MAX_BEV_WALLS = 16
-MAX_BEV_BLOCKS = 10
+# Sized from per-town measurement (tests/test_maps.py budget tests) with
+# headroom for curved-geometry chord decompositions.
+# Hard ceilings; the effective per-scene counts are the smaller measured
+# per-town budgets on WorldParams (wall_budget/road_budget).
+MAX_BEV_WALLS = 32
+MAX_BEV_ROADS = 24
 
 
 def _pixel_centers() -> np.ndarray:
@@ -151,36 +158,48 @@ def _nearest_k(xy_rel: jnp.ndarray, alive: jnp.ndarray, k: int):
   return idx
 
 
+def rect_distance(rects: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
+  """Point-to-ORIENTED-rect distance for every rect [R, 6]."""
+  dx = point[0] - rects[:, 0]
+  dy = point[1] - rects[:, 1]
+  u = rects[:, 4] * dx + rects[:, 5] * dy
+  v = -rects[:, 5] * dx + rects[:, 4] * dy
+  du = jnp.maximum(jnp.abs(u) - rects[:, 2], 0.0)
+  dv = jnp.maximum(jnp.abs(v) - rects[:, 3], 0.0)
+  return jnp.sqrt(du * du + dv * dv)
+
+
 def nearest_rects(rects: jnp.ndarray, point: jnp.ndarray, k: int,
                   max_range: float = METERS_MAX * 1.5) -> jnp.ndarray:
-  """[k, 4] axis-aligned rects nearest to ``point`` by point-to-rect
-  distance (so 80 m wall strips right next to the hero are selected even
-  though their centers are far).  Selections beyond ``max_range`` are
-  pushed out so padded slots never rasterise.
-
-  ``max_range`` defaults to the BEV grid diagonal; consumers whose output
-  is range-masked at METERS_MAX (the `above` channel) can pass a tight
-  radius and a smaller k — budgets are sized from per-town measurements
-  (walls: <=15 within 52 m; blocks: <=10 within 75 m, all towns)."""
-  dx = jnp.maximum(jnp.abs(point[0] - rects[:, 0]) - rects[:, 2], 0.0)
-  dy = jnp.maximum(jnp.abs(point[1] - rects[:, 1]) - rects[:, 3], 0.0)
-  d = jnp.sqrt(dx * dx + dy * dy)
+  """[k, 6] oriented rects (cx, cy, hx, hy, cos, sin) nearest to ``point``
+  by point-to-rect distance (so 40 m chords right next to the hero are
+  selected even though their centers are far).  Selections beyond
+  ``max_range`` are pushed out so padded slots never rasterise."""
+  d = rect_distance(rects, point)
   k = min(k, rects.shape[0])
   neg_d, idx = jax.lax.top_k(-d, k)
   sel = rects[idx]
   valid = (-neg_d) <= max_range
-  return jnp.where(valid[:, None], sel,
-                   jnp.full_like(sel, -1e6).at[:, 2:].set(0.0))
+  pushed = jnp.concatenate([
+      jnp.full_like(sel[:, :2], -1e6),
+      jnp.zeros_like(sel[:, 2:4]),
+      jnp.ones_like(sel[:, 4:5]),
+      jnp.zeros_like(sel[:, 5:6]),
+  ], axis=-1)
+  return jnp.where(valid[:, None], sel, pushed)
 
 
-def rects_occupancy(grid_world: jnp.ndarray,
-                    rects: jnp.ndarray) -> jnp.ndarray:
-  """[H, W] bool: grid points inside any axis-aligned rect (elementwise —
-  no gathers, TPU-friendly)."""
-  inside = ((jnp.abs(grid_world[..., 0, None] - rects[None, None, :, 0]) <=
-             rects[None, None, :, 2]) &
-            (jnp.abs(grid_world[..., 1, None] - rects[None, None, :, 1]) <=
-             rects[None, None, :, 3]))
+def rects_occupancy(grid_world: jnp.ndarray, rects: jnp.ndarray,
+                    inflate: float = 0.0) -> jnp.ndarray:
+  """[H, W] bool: grid points inside any oriented rect (elementwise — no
+  gathers, TPU-friendly).  ``inflate`` grows every rect's half-extents
+  (e.g. by the sidewalk margin)."""
+  dx = grid_world[..., 0, None] - rects[None, None, :, 0]
+  dy = grid_world[..., 1, None] - rects[None, None, :, 1]
+  u = rects[None, None, :, 4] * dx + rects[None, None, :, 5] * dy
+  v = -rects[None, None, :, 5] * dx + rects[None, None, :, 4] * dy
+  inside = ((jnp.abs(u) <= rects[None, None, :, 2] + inflate) &
+            (jnp.abs(v) <= rects[None, None, :, 3] + inflate))
   return jnp.any(inside, axis=-1)
 
 
@@ -197,13 +216,17 @@ def splat_lidar(params, state) -> jnp.ndarray:
   # -- Building walls: the only static surfaces a LIDAR returns from.
   # Rect tests, not raster gathers: 40k random 1-element HBM loads per
   # scene per step would serialise on TPU.
-  wall_sel = nearest_rects(params.map["wall_rects"], hero_xy, MAX_BEV_WALLS,
+  wall_sel = nearest_rects(params.map["wall_rects"], hero_xy,
+                           min(MAX_BEV_WALLS, params.wall_budget),
                            max_range=METERS_MAX * 1.04)
   buildings = rects_occupancy(grid_world, wall_sel)
-  # Solid obstacle interiors: no ground returns there (occluded).
-  block_sel = nearest_rects(params.map["block_rects"], hero_xy,
-                            MAX_BEV_BLOCKS)
-  solid = rects_occupancy(grid_world, block_sel)
+  # Ground returns exist only on/near the road corridors (road + sidewalk);
+  # beyond the walls everything is occluded building interior.  Inflating
+  # the corridor chords by the sidewalk margin reproduces exactly the old
+  # "solid block interior" complement, but works for curved geometry.
+  road_sel = nearest_rects(params.map["road_rects"], hero_xy,
+                           min(MAX_BEV_ROADS, params.road_budget))
+  open_ground = rects_occupancy(grid_world, road_sel, inflate=_SIDEWALK)
 
   # -- Vehicle boxes (nearest MAX_BEV_VEHICLES only). ----------------------
   occupied = buildings
@@ -248,6 +271,6 @@ def splat_lidar(params, state) -> jnp.ndarray:
                     above_counts / HIST_MAX_PER_PIXEL, 0.0)
 
   ground = jnp.asarray(ground_ring_image())
-  below = jnp.where(occupied | solid, 0.0, ground)
+  below = jnp.where(occupied | ~open_ground, 0.0, ground)
 
   return jnp.stack([below, above], axis=-1).astype(jnp.float32)

@@ -51,8 +51,8 @@ def _const_images():
   return counts.astype(np.float32), ground.astype(np.float32)
 
 
-def _kernel(hero_ref, walls_ref, blocks_ref, boxes_ref, counts_ref,
-            ground_ref, below_ref, above_ref, occ_ref, solid_ref):
+def _kernel(hero_ref, walls_ref, roads_ref, boxes_ref, counts_ref,
+            ground_ref, below_ref, above_ref, occ_ref, open_ref):
   hx = hero_ref[0, 0, 0]
   hy = hero_ref[0, 0, 1]
   cos_y = hero_ref[0, 0, 2]
@@ -70,79 +70,56 @@ def _kernel(hero_ref, walls_ref, blocks_ref, boxes_ref, counts_ref,
   wy = hy + sin_y * lx + cos_y * ly
 
   occ_ref[...] = jnp.zeros((BEV, BEV), jnp.float32)
-  solid_ref[...] = jnp.zeros((BEV, BEV), jnp.float32)
+  open_ref[...] = jnp.zeros((BEV, BEV), jnp.float32)
 
-  n_walls = walls_ref.shape[1]
-  n_blocks = blocks_ref.shape[1]
-  n_boxes = boxes_ref.shape[1]
+  def oriented_body(ref, out_ref):
+    def body(k, _):
+      hl = ref[0, k, 2]
 
-  def wall_body(k, _):
-    rhx = walls_ref[0, k, 2]
+      @pl.when(hl > 0.0)
+      def _():
+        cx = ref[0, k, 0]
+        cy = ref[0, k, 1]
+        hw = ref[0, k, 3]
+        cr = ref[0, k, 4]
+        sr = ref[0, k, 5]
+        dx = wx - cx
+        dy = wy - cy
+        u = cr * dx + sr * dy
+        v = -sr * dx + cr * dy
+        inside = (jnp.abs(u) <= hl) & (jnp.abs(v) <= hw)
+        out_ref[...] = jnp.maximum(out_ref[...], inside.astype(jnp.float32))
 
-    @pl.when(rhx > 0.0)
-    def _():
-      cx = walls_ref[0, k, 0]
-      cy = walls_ref[0, k, 1]
-      rhy = walls_ref[0, k, 3]
-      inside = (jnp.abs(wx - cx) <= rhx) & (jnp.abs(wy - cy) <= rhy)
-      occ_ref[...] = jnp.maximum(occ_ref[...], inside.astype(jnp.float32))
+      return 0
 
-    return 0
+    return body
 
-  jax.lax.fori_loop(0, n_walls, wall_body, 0)
-
-  def box_body(k, _):
-    hl = boxes_ref[0, k, 2]
-
-    @pl.when(hl > 0.0)
-    def _():
-      cx = boxes_ref[0, k, 0]
-      cy = boxes_ref[0, k, 1]
-      hw = boxes_ref[0, k, 3]
-      cr = boxes_ref[0, k, 4]
-      sr = boxes_ref[0, k, 5]
-      dx = wx - cx
-      dy = wy - cy
-      u = cr * dx + sr * dy
-      v = -sr * dx + cr * dy
-      inside = (jnp.abs(u) <= hl) & (jnp.abs(v) <= hw)
-      occ_ref[...] = jnp.maximum(occ_ref[...], inside.astype(jnp.float32))
-
-    return 0
-
-  jax.lax.fori_loop(0, n_boxes, box_body, 0)
-
-  def block_body(k, _):
-    rhx = blocks_ref[0, k, 2]
-
-    @pl.when(rhx > 0.0)
-    def _():
-      cx = blocks_ref[0, k, 0]
-      cy = blocks_ref[0, k, 1]
-      rhy = blocks_ref[0, k, 3]
-      inside = (jnp.abs(wx - cx) <= rhx) & (jnp.abs(wy - cy) <= rhy)
-      solid_ref[...] = jnp.maximum(solid_ref[...],
-                                   inside.astype(jnp.float32))
-
-    return 0
-
-  jax.lax.fori_loop(0, n_blocks, block_body, 0)
+  # Walls + actor boxes paint occupancy; (pre-inflated) road corridors
+  # paint the open-ground coverage where ground returns can exist.
+  jax.lax.fori_loop(0, walls_ref.shape[1], oriented_body(walls_ref, occ_ref),
+                    0)
+  jax.lax.fori_loop(0, boxes_ref.shape[1], oriented_body(boxes_ref, occ_ref),
+                    0)
+  jax.lax.fori_loop(0, roads_ref.shape[1], oriented_body(roads_ref, open_ref),
+                    0)
 
   occupied = occ_ref[...] > 0.0
-  solid = solid_ref[...] > 0.0
+  open_ground = open_ref[...] > 0.0
   above_ref[0] = jnp.where(occupied, counts_ref[...], 0.0)
-  below_ref[0] = jnp.where(occupied | solid, 0.0, ground_ref[...])
+  below_ref[0] = jnp.where(occupied | ~open_ground, 0.0, ground_ref[...])
 
 
 def splat_lidar_batch(hero: jnp.ndarray, walls: jnp.ndarray,
-                      blocks: jnp.ndarray, boxes: jnp.ndarray,
+                      roads: jnp.ndarray, boxes: jnp.ndarray,
                       interpret: bool = False) -> jnp.ndarray:
   """Batched splat via the pallas kernel.
 
   Args:
     hero: [B, 4] (x, y, cos_yaw, sin_yaw).
-    walls/blocks: [B, N*, 4] axis-aligned rects; padded slots have
-      non-positive half extents.
+    walls: [B, NW, 6] oriented wall rects; padded slots have non-positive
+      half extents.
+    roads: [B, NR, 6] oriented road-corridor rects, ALREADY inflated by
+      the sidewalk margin (open-ground coverage).
     boxes: [B, NV, 6] oriented boxes (cx, cy, half_l, half_w, cos, sin).
 
   Returns:
@@ -161,9 +138,9 @@ def splat_lidar_batch(hero: jnp.ndarray, walls: jnp.ndarray,
       in_specs=[
           pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, walls.shape[1], 4), lambda i: (i, 0, 0),
+          pl.BlockSpec((1, walls.shape[1], 6), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, blocks.shape[1], 4), lambda i: (i, 0, 0),
+          pl.BlockSpec((1, roads.shape[1], 6), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, boxes.shape[1], 6), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
@@ -188,7 +165,7 @@ def splat_lidar_batch(hero: jnp.ndarray, walls: jnp.ndarray,
           jax.ShapeDtypeStruct((B, BEV, BEV), jnp.float32),
       ],
       interpret=interpret,
-  )(hero[:, None, :], walls, blocks, boxes, jnp.asarray(counts),
+  )(hero[:, None, :], walls, roads, boxes, jnp.asarray(counts),
     jnp.asarray(ground))
   return jnp.stack([below, above], axis=-1)
 
@@ -203,10 +180,16 @@ def gather_inputs(params, state):
       jnp.sin(state.hero_yaw)
   ])
   walls = bev_ref.nearest_rects(params.map["wall_rects"], state.hero_xy,
-                                bev_ref.MAX_BEV_WALLS,
+                                min(bev_ref.MAX_BEV_WALLS,
+                                    params.wall_budget),
                                 max_range=bev_ref.METERS_MAX * 1.04)
-  blocks = bev_ref.nearest_rects(params.map["block_rects"], state.hero_xy,
-                                 bev_ref.MAX_BEV_BLOCKS)
+  roads = bev_ref.nearest_rects(params.map["road_rects"], state.hero_xy,
+                                min(bev_ref.MAX_BEV_ROADS,
+                                    params.road_budget))
+  # Pre-inflate corridor chords by the sidewalk margin (the XLA path
+  # passes inflate= to rects_occupancy; the kernel takes them inflated).
+  roads = roads.at[:, 2:4].add(
+      jnp.where(roads[:, 2:3] > 0.0, bev_ref._SIDEWALK, 0.0))  # noqa: SLF001
 
   boxes = []
   if state.num_npcs > 0:
@@ -240,11 +223,11 @@ def gather_inputs(params, state):
     box_arr = jnp.concatenate(boxes, axis=0)
   else:
     box_arr = jnp.zeros((1, 6), jnp.float32)
-  return hero, walls, blocks, box_arr
+  return hero, walls, roads, box_arr
 
 
 def splat_lidar_pallas(params, states, interpret: bool = False):
   """Batched BEV splat for a SceneState with a leading batch axis."""
-  hero, walls, blocks, boxes = jax.vmap(
+  hero, walls, roads, boxes = jax.vmap(
       lambda s: gather_inputs(params, s))(states)
-  return splat_lidar_batch(hero, walls, blocks, boxes, interpret=interpret)
+  return splat_lidar_batch(hero, walls, roads, boxes, interpret=interpret)

@@ -71,19 +71,26 @@ def _pixel_rays():
 
 
 def _ray_rect_distance(ox, oy, dx, dy, rects):
-  """2-D slab test: distance along (dx, dy) from (ox, oy) to each
-  axis-aligned rect; inf when missed.  rects: [K, 4]."""
+  """2-D slab test: distance along (dx, dy) from (ox, oy) to each ORIENTED
+  rect (cx, cy, hx, hy, cos, sin); inf when missed.  rects: [K, 6].
+
+  The ray is rotated into each rect's frame (rotation preserves the ray
+  parameter t), then slab-tested against the axis-aligned box there."""
   eps = 1e-6
-  inv_dx = 1.0 / jnp.where(jnp.abs(dx) < eps, eps, dx)
-  inv_dy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
-  lo_x = rects[:, 0] - rects[:, 2]
-  hi_x = rects[:, 0] + rects[:, 2]
-  lo_y = rects[:, 1] - rects[:, 3]
-  hi_y = rects[:, 1] + rects[:, 3]
-  t1 = (lo_x - ox) * inv_dx[..., None]
-  t2 = (hi_x - ox) * inv_dx[..., None]
-  t3 = (lo_y - oy) * inv_dy[..., None]
-  t4 = (hi_y - oy) * inv_dy[..., None]
+  cr, sr = rects[:, 4], rects[:, 5]
+  # Origin and direction in rect frame.
+  rx = ox - rects[:, 0]
+  ry = oy - rects[:, 1]
+  oxr = cr * rx + sr * ry                       # [K]
+  oyr = -sr * rx + cr * ry
+  dxr = cr * dx[..., None] + sr * dy[..., None]  # [..., K]
+  dyr = -sr * dx[..., None] + cr * dy[..., None]
+  inv_dx = 1.0 / jnp.where(jnp.abs(dxr) < eps, eps, dxr)
+  inv_dy = 1.0 / jnp.where(jnp.abs(dyr) < eps, eps, dyr)
+  t1 = (-rects[:, 2] - oxr) * inv_dx
+  t2 = (rects[:, 2] - oxr) * inv_dx
+  t3 = (-rects[:, 3] - oyr) * inv_dy
+  t4 = (rects[:, 3] - oyr) * inv_dy
   tmin = jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(t3, t4))
   tmax = jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(t3, t4))
   hit = (tmax >= tmin) & (tmax > 0.0)
@@ -92,9 +99,12 @@ def _ray_rect_distance(ox, oy, dx, dy, rects):
 
 
 def _inside_any(px, py, rects):
-  return jnp.any(
-      (jnp.abs(px[..., None] - rects[:, 0]) <= rects[:, 2]) &
-      (jnp.abs(py[..., None] - rects[:, 1]) <= rects[:, 3]), axis=-1)
+  dx = px[..., None] - rects[:, 0]
+  dy = py[..., None] - rects[:, 1]
+  u = rects[:, 4] * dx + rects[:, 5] * dy
+  v = -rects[:, 5] * dx + rects[:, 4] * dy
+  return jnp.any((jnp.abs(u) <= rects[:, 2]) & (jnp.abs(v) <= rects[:, 3]),
+                 axis=-1)
 
 
 def camera_classes(params: WorldParams, state: SceneState,
@@ -128,12 +138,13 @@ def camera_classes(params: WorldParams, state: SceneState,
     d = jnp.where(state.npc_alive, d, jnp.inf)
     k = min(MAX_CAMERA_VEHICLES, d.shape[0])
     _, sel = jax.lax.top_k(-d, k)
-    # Conservative axis-aligned bounds of each (rotated) vehicle box.
-    half = 0.5 * jnp.sqrt(params.vehicle.length**2 + params.vehicle.width**2)
+    # Exact oriented vehicle boxes (the oriented slab test is free now).
     boxes = jnp.concatenate([
         state.npc_xy[sel],
-        jnp.full((k, 1), half * 0.85),
-        jnp.full((k, 1), half * 0.6),
+        jnp.full((k, 1), params.vehicle.length / 2.0),
+        jnp.full((k, 1), params.vehicle.width / 2.0),
+        jnp.cos(state.npc_yaw[sel])[:, None],
+        jnp.sin(state.npc_yaw[sel])[:, None],
     ], axis=-1)
     tv = _ray_rect_distance(ox, oy, dx, dy, boxes)
     tv = jnp.where(state.npc_alive[sel][None, None, :], tv, jnp.inf)
@@ -153,6 +164,8 @@ def camera_classes(params: WorldParams, state: SceneState,
         state.ped_xy[sel],
         jnp.full((k, 1), 0.35),
         jnp.full((k, 1), 0.35),
+        jnp.ones((k, 1)),
+        jnp.zeros((k, 1)),
     ], axis=-1)
     tp = _ray_rect_distance(ox, oy, dx, dy, boxes)
     tp = jnp.where(state.ped_alive[sel][None, None, :], tp, jnp.inf)

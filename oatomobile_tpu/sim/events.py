@@ -101,20 +101,24 @@ def detect_collision(params: WorldParams, state: SceneState,
     impulse = jnp.maximum(
         impulse, jnp.max(jnp.where(hit, 400.0 * (new_speed + 1.0), 0.0)))
 
-  # Static collision: hero corners inside any nearby building block rect
-  # (exact, gather-free — see maps/builder.py block_rects).
+  # Static collision: a hero corner OUTSIDE every nearby road corridor
+  # (inflated by the sidewalk margin) has hit the buildings that line the
+  # streets.  Gather-free oriented-rect tests against the nearest corridor
+  # chords — the exact complement of the old solid-block-interior test,
+  # but valid for curved geometry (maps/builder.py road_rects).
+  from oatomobile_tpu.ops import bev as bev_ops
   corners = hero_corners(params, new_xy, new_yaw)
-  blocks = params.map["block_rects"]
-  dxc = jnp.maximum(jnp.abs(new_xy[0] - blocks[:, 0]) - blocks[:, 2], 0.0)
-  dyc = jnp.maximum(jnp.abs(new_xy[1] - blocks[:, 1]) - blocks[:, 3], 0.0)
-  _, near = jax.lax.top_k(-(dxc * dxc + dyc * dyc),
-                          min(8, blocks.shape[0]))
-  near_blocks = blocks[near]
-  inside = ((jnp.abs(corners[:, 0, None] - near_blocks[None, :, 0]) <=
-             near_blocks[None, :, 2]) &
-            (jnp.abs(corners[:, 1, None] - near_blocks[None, :, 1]) <=
-             near_blocks[None, :, 3]))
-  static_hit = jnp.any(inside)
+  roads = bev_ops.nearest_rects(params.map["road_rects"], new_xy,
+                                min(12, params.road_budget),
+                                max_range=100.0)
+  dx = corners[:, 0, None] - roads[None, :, 0]
+  dy = corners[:, 1, None] - roads[None, :, 1]
+  u = roads[None, :, 4] * dx + roads[None, :, 5] * dy
+  v = -roads[None, :, 5] * dx + roads[None, :, 4] * dy
+  sidewalk = jnp.float32(2.0)  # maps/builder.py SIDEWALK
+  inside = ((jnp.abs(u) <= roads[None, :, 2] + sidewalk) &
+            (jnp.abs(v) <= roads[None, :, 3] + sidewalk))
+  static_hit = jnp.any(~jnp.any(inside, axis=-1))
   impulse = jnp.maximum(
       impulse, jnp.where(static_hit, 400.0 * (new_speed + 1.0), 0.0))
   return impulse

@@ -90,7 +90,14 @@ def npc_step(params: WorldParams, state: SceneState,
   steer = jnp.clip(1.5 * err, -1.0, 1.0)
 
   # 3. Speed: limit, curvature slowdown, car-following, red lights, hero.
-  target_speed = jnp.minimum(params.npc_target_speed,
+  # Heterogeneous drivers: each NPC slot gets a fixed speed factor in
+  # [0.75, 1.25] (deterministic golden-ratio stride — no extra state), so
+  # traffic is a mix of slow and pushy vehicles instead of a uniform
+  # platoon (the reference's CARLA traffic manager randomises per-vehicle
+  # target speeds server-side).
+  factor = 0.75 + 0.5 * jnp.mod(jnp.arange(K, dtype=jnp.float32) * 0.618034,
+                                1.0)
+  target_speed = jnp.minimum(params.npc_target_speed * factor,
                              params.map["wp_speed_limit"][wp])
   target_speed = target_speed * jnp.clip(1.0 - jnp.abs(err), 0.3, 1.0)
 

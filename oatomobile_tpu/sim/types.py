@@ -53,6 +53,13 @@ class WorldParams:
   # Hazard thresholds (reference autopilot/agent.py:50-52).
   proximity_vehicle_threshold: jnp.ndarray  # 10 m
   proximity_tlight_threshold: jnp.ndarray   # 5 m
+  # STATIC per-town rect budgets (pytree_node=False -> compile-time
+  # constants): how many wall / road-corridor rects the BEV splat must
+  # select to cover its range.  Measured per town at build time — grid
+  # towns need ~14/8, roundabout towns ~26/18; paying the worst case
+  # everywhere costs ~40% of step throughput.
+  wall_budget: int = struct.field(pytree_node=False, default=24)
+  road_budget: int = struct.field(pytree_node=False, default=16)
 
 
 @struct.dataclass

@@ -42,6 +42,8 @@ def make_params(town: TownMap,
       tl_yellow=jnp.float32(3.0),
       proximity_vehicle_threshold=jnp.float32(10.0),
       proximity_tlight_threshold=jnp.float32(5.0),
+      wall_budget=int(town.wall_budget),
+      road_budget=int(town.road_budget),
   )
 
 
