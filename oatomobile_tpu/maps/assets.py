@@ -76,6 +76,9 @@ class TownMap:
   # rects within 75 m of any lane waypoint (BEV selection counts).
   wall_budget: int = 24
   road_budget: int = 16
+  # [W] bool: NPC traffic permitted (False on restricted roads, e.g. the
+  # Town03 hairpin pass).  None for legacy caches -> all True.
+  wp_npc_ok: np.ndarray = None
 
   _device: Optional[dict] = dataclasses.field(default=None, repr=False)
 
@@ -118,6 +121,9 @@ class TownMap:
           wp_lane_id=jnp.asarray(self.wp_lane_id, dtype=jnp.int32),
           wp_is_junction=jnp.asarray(self.wp_is_junction),
           wp_speed_limit=jnp.asarray(self.wp_speed_limit, dtype=jnp.float32),
+          wp_npc_ok=jnp.asarray(
+              self.wp_npc_ok if self.wp_npc_ok is not None else
+              np.ones(len(self.wp_xy), bool)),
           wp_tl=jnp.asarray(self.wp_tl, dtype=jnp.int32),
           spawn_wp=jnp.asarray(self.spawn_wp, dtype=jnp.int32),
           tl_xy=jnp.asarray(self.tl_xy, dtype=jnp.float32),

@@ -85,6 +85,9 @@ class EdgeSpec:
   via: Optional[Sequence[Tuple[float, float]]] = None
   speed: float = SPEED_LIMIT_MPS
   feature: str = ""
+  # NPC traffic permitted on this road (False for e.g. narrow hairpin
+  # passes where two-way background traffic is unrealistic).
+  npc_allowed: bool = True
 
 
 @dataclasses.dataclass
@@ -244,11 +247,13 @@ class _GraphAccumulator:
     self.lane_id: List[int] = []
     self.is_junction: List[bool] = []
     self.speed: List[float] = []
+    self.npc_ok: List[bool] = []
     self.edges: List[Tuple[int, int]] = []
 
   def add_polyline(self, points: np.ndarray, yaws: np.ndarray, road_id: int,
                    lane_id: int, junction: bool, speed: float,
-                   closed: bool = False) -> Tuple[int, int]:
+                   closed: bool = False,
+                   npc_ok: bool = True) -> Tuple[int, int]:
     """Adds a chained sequence of waypoints; returns (first_id, last_id)."""
     base = len(self.xy)
     n = len(points)
@@ -259,6 +264,7 @@ class _GraphAccumulator:
       self.lane_id.append(lane_id)
       self.is_junction.append(junction)
       self.speed.append(speed)
+      self.npc_ok.append(npc_ok)
       if k > 0:
         self.edges.append((base + k - 1, base + k))
     if closed and n > 1:
@@ -336,7 +342,7 @@ def build_town(name: str, spec: NetworkSpec) -> TownMap:
       cpts, cyaw = _resample(cl, WAYPOINT_SPACING)
       lane = _offset_polyline(cpts, cyaw, LANE_OFFSET)
       first, last = acc.add_polyline(lane, cyaw, ei, direction, False,
-                                     e.speed)
+                                     e.speed, npc_ok=e.npc_allowed)
       lane_spans.append((first, last, ei))
       src_node = e.a if direction > 0 else e.b
       dst_node = e.b if direction > 0 else e.a
@@ -475,6 +481,7 @@ def build_town(name: str, spec: NetworkSpec) -> TownMap:
   wp_lane_id = np.asarray(acc.lane_id, dtype=np.int32)
   wp_is_junction = np.asarray(acc.is_junction)
   wp_speed_limit = np.asarray(acc.speed, dtype=np.float32)
+  wp_npc_ok = np.asarray(acc.npc_ok)
 
   wp_next = np.full((W, MAX_NEXT), -1, dtype=np.int32)
   wp_num_next = np.zeros(W, dtype=np.int32)
@@ -682,6 +689,7 @@ def build_town(name: str, spec: NetworkSpec) -> TownMap:
       road_rects=np.asarray(road_rects, dtype=np.float32),
       wall_budget=wall_budget,
       road_budget=road_budget,
+      wp_npc_ok=wp_npc_ok,
   )
 
 

@@ -92,7 +92,7 @@ def _town03_spec() -> NetworkSpec:
       EdgeSpec("g0_3", "hills_top",
                via=[(36.0, 252.0), (-36.0, 276.0), (36.0, 300.0),
                     (-36.0, 324.0)],
-               speed=40 * _KMH, feature="hills"),
+               speed=40 * _KMH, feature="hills", npc_allowed=False),
       EdgeSpec("hills_top", "hills_e", speed=40 * _KMH, feature="hills_top"),
       EdgeSpec("hills_e", "g2_3", speed=40 * _KMH, feature="hills_link"),
   ]
@@ -171,7 +171,7 @@ _CACHE_DIR = os.environ.get(
     "OATOMOBILE_TPU_MAP_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "oatomobile_tpu", "maps"))
 
-_CACHE_VERSION = 5
+_CACHE_VERSION = 6
 
 
 def _cache_path(name: str) -> str:

@@ -17,9 +17,12 @@ from oatomobile_tpu.sim.types import PIDState, VehicleSpec
 # Reference PID gains (baselines/base.py:32-43).
 LATERAL_PID = {"K_P": 1.95, "K_D": 0.01, "K_I": 1.4}
 LONGITUDINAL_PID = {"K_P": 1.0, "K_D": 0.0, "K_I": 1.0}
-# Integral windup clamp: CARLA buffers the last 30 errors; a clamped
-# integral approximates the same bounded memory.
-PID_WINDUP = 10.0
+# Integral windup clamp: CARLA integrates a 30-sample error deque, i.e. a
+# BOUNDED memory of 30 * dt * err <= ~2.4 for saturated heading errors.  A
+# loose clamp (10.0 in round 1) let the lateral integral hold full-lock
+# steering for seconds after a hazard stop at a hairpin — the measured
+# cause of every wall collision on the Town03 serpentine.
+PID_WINDUP = 2.5
 
 
 def bicycle_step(
@@ -80,6 +83,27 @@ def longitudinal_control(state: PIDState, current_speed: jnp.ndarray,
       "k_i": LONGITUDINAL_PID["K_I"],
   })
   return jnp.clip(out, 0.0, 1.0), new_state
+
+
+def longitudinal_control_with_brake(
+    state: PIDState, current_speed: jnp.ndarray, target_speed: jnp.ndarray,
+    dt: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, PIDState]:
+  """(throttle, brake, state) from speed error.
+
+  Deviation from the reference: CARLA's PIDLongitudinalController clips to
+  [0, 1] — agents can never brake except at hazard stops, so they coast
+  through route ends and carry full speed into hairpins.  Here a negative
+  PID output maps to the brake pedal.
+  """
+  error = (target_speed - current_speed) * 3.6
+  out, new_state = pid_update(state, error, dt, **{
+      "k_p": LONGITUDINAL_PID["K_P"],
+      "k_d": LONGITUDINAL_PID["K_D"],
+      "k_i": LONGITUDINAL_PID["K_I"],
+  })
+  throttle = jnp.clip(out, 0.0, 1.0)
+  brake = jnp.clip(-out - 0.1, 0.0, 1.0)  # small dead-band: coast first
+  return throttle, brake, new_state
 
 
 def lateral_control(state: PIDState, xy: jnp.ndarray, yaw: jnp.ndarray,

@@ -20,6 +20,9 @@ from oatomobile_tpu.sim import dynamics
 # `traffic_light_state` sensor, simulator.py:925-971):
 TL_RED, TL_YELLOW_STATE, TL_GREEN, TL_OFF, TL_UNKNOWN = 0, 1, 2, 3, 4
 
+# Upcoming lane waypoints (~2 m apart) each NPC checks for path blockers.
+PATH_LOOKAHEAD = 6
+
 
 def traffic_light_states(params: WorldParams,
                          time: jnp.ndarray) -> jnp.ndarray:
@@ -64,8 +67,16 @@ def _advance_waypoint(params: WorldParams, xy: jnp.ndarray, wp: jnp.ndarray,
   num_next = params.map["wp_num_next"][wp]
   pick = jnp.minimum((u * num_next.astype(jnp.float32)).astype(jnp.int32),
                      num_next - 1)
-  nxt = jnp.take_along_axis(params.map["wp_next"][wp], pick[..., None],
-                            axis=-1)[..., 0]
+  successors = params.map["wp_next"][wp]
+  nxt = jnp.take_along_axis(successors, pick[..., None], axis=-1)[..., 0]
+  # NPC-restricted roads (narrow hairpin passes): re-pick the next branch
+  # up to twice; if every branch is restricted, proceed anyway (never
+  # strand a vehicle).
+  for bump in (1, 2):
+    alt = jnp.take_along_axis(
+        successors, ((pick + bump) % jnp.maximum(num_next, 1))[..., None],
+        axis=-1)[..., 0]
+    nxt = jnp.where(params.map["wp_npc_ok"][nxt], nxt, alt)
   return jnp.where(reached, nxt, wp)
 
 
@@ -119,19 +130,78 @@ def npc_step(params: WorldParams, state: SceneState,
   other_alive = jnp.concatenate([alive, jnp.ones((1,), bool)], axis=0)
   not_self = ~jnp.eye(K, K + 1, dtype=bool)
 
-  def in_corridor(r):
+  def fwd_lat(r):
     fwd = cos_y[:, None] * r[..., 0] + sin_y[:, None] * r[..., 1]
     lat = -sin_y[:, None] * r[..., 0] + cos_y[:, None] * r[..., 1]
-    return ((fwd > 0.5) & (fwd < params.proximity_vehicle_threshold) &
-            (jnp.abs(lat) < 2.0))
+    return fwd, lat
 
-  blocked_by = (in_corridor(rel) | in_corridor(rel + rel_vel * 1.0))
-  blocked = jnp.any(blocked_by & other_alive[None, :] & not_self, axis=-1)
+  # Heading / speed relations [K, K+1].
+  other_yaw = jnp.concatenate([yaw, state.hero_yaw[None]], axis=0)
+  other_speed = jnp.concatenate([speed, state.hero_speed[None]], axis=0)
+  moving_j = (other_speed > 0.5)[None, :]
+  cos_rel = jnp.cos(other_yaw[None, :] - yaw[:, None])
+  rel_fut = rel + rel_vel * 1.0
+  fwd_now, lat_now = fwd_lat(rel)
+  fwd_fut, lat_fut = fwd_lat(rel_fut)
+
+  # PATH-AWARE blocking: unlike box-corridor heuristics (which freeze
+  # serpentines on false oncoming positives and miss curved-lane leaders),
+  # each NPC checks other vehicles against its actual upcoming LANE
+  # waypoints (~12 m ahead along wp_next).  A vehicle within 2.2 m of any
+  # of those centerline points is physically on the path.
+  path = wp
+  path_hits = []
+  dist_all = jnp.linalg.norm(rel, axis=-1)  # [K, K+1]
+  for _ in range(PATH_LOOKAHEAD):
+    p_xy = params.map["wp_xy"][path]                     # [K, 2]
+    d = jnp.linalg.norm(other_xy[None, :, :] - p_xy[:, None, :], axis=-1)
+    path_hits.append(d < 2.2)
+    path = params.map["wp_next"][path, 0]
+  on_my_path = jnp.stack(path_hits, axis=0).any(axis=0)  # [K, K+1]
+  on_my_path = on_my_path & (fwd_now > -1.0)             # not behind me
+
+  # Right of way: the hero first, then lower slot index.  A MOVING or
+  # very-close vehicle on my path always blocks; a STOPPED one further out
+  # blocks only if it has priority — that asymmetry breaks the symmetric
+  # stop-and-wait deadlocks at junctions (exactly one party proceeds).
+  j_idx = jnp.arange(K + 1)[None, :]
+  k_idx = jnp.arange(K)[:, None]
+  has_priority = (j_idx == K) | (j_idx < k_idx)
+  blocked_now = on_my_path & (moving_j | has_priority | (dist_all < 6.0))
+  # Imminent head-on (apex cutters at hairpins): CREEP AND EVADE rather
+  # than stop — a full stop leaves two vehicles nose-to-nose forever (the
+  # measured Hills* stand-off), while steering away at walking pace lets
+  # them squeeze past.
+  head_on_close = ((cos_rel < -0.5) & (fwd_now > 0.0) & (fwd_now < 7.0) &
+                   (jnp.abs(lat_now) < 2.6) & other_alive[None, :] &
+                   not_self)
+
+  # Predictive intercept for fast crossing traffic (position-only path
+  # checks see a 5 m/s crosser ~1 s out; this doubles the margin).  Only
+  # toward priority vehicles or same-direction leaders — symmetric
+  # pre-yielding deadlocks junctions.  Oncoming passers (opposite heading,
+  # laterally offset now and at the prediction) are excluded: on tight
+  # curves they dip into the prediction cone and froze whole serpentines.
+  same_dir = cos_rel > 0.5
+  oncoming_passer = ((cos_rel < -0.5) & moving_j &
+                     (jnp.abs(lat_now) > 1.2) & (jnp.abs(lat_fut) > 1.0))
+  prox = params.proximity_vehicle_threshold
+  intercept = ((fwd_fut > 0.5) & (fwd_fut < prox) &
+               (jnp.abs(lat_fut) < 2.0 + 0.15 * fwd_fut) & moving_j)
+  blocked_fut = intercept & ~oncoming_passer & (same_dir | has_priority)
+  blocked = jnp.any((blocked_now | blocked_fut) & other_alive[None, :] &
+                    not_self, axis=-1)
 
   governed, tl_state = light_for_waypoint(params, wp, tl_states)
   red = governed & (tl_state != TL_GREEN)
 
-  target_speed = jnp.where(blocked | red, 0.0, target_speed)
+  conflict = jnp.any(head_on_close, axis=-1)
+  evade = -jnp.sign(jnp.sum(jnp.where(head_on_close, jnp.sign(lat_now), 0.0),
+                            axis=-1))
+  steer = jnp.clip(steer + jnp.where(conflict, 0.6 * evade, 0.0), -1.0, 1.0)
+  target_speed = jnp.where(
+      blocked | red, 0.0,
+      jnp.where(conflict, jnp.minimum(target_speed, 1.5), target_speed))
 
   # 4. Proportional accel -> pseudo throttle/brake -> bicycle step.
   accel_cmd = jnp.clip(1.2 * (target_speed - speed), -params.vehicle.max_brake,

@@ -293,8 +293,12 @@ def init_scene_batch(
   npc_wp = np.zeros((B, K), np.int32)
   npc_alive = np.zeros((B, K), bool)
   if K > 0:
-    order = np.argsort(rng.rand(B, S), axis=1)[:, :K + 1]
-    # Drop the hero spawn if drawn; keep the first K of the rest.
+    # Exclude NPC-restricted roads (e.g. the Town03 hairpin pass) and the
+    # hero's spawn from NPC placement.
+    npc_ok_spawn = (town.wp_npc_ok[town.spawn_wp]
+                    if town.wp_npc_ok is not None else np.ones(S, bool))
+    scores = rng.rand(B, S) + np.where(npc_ok_spawn, 0.0, 10.0)[None, :]
+    order = np.argsort(scores, axis=1)[:, :K + 1]
     keep = order != sp[:, None]
     picks = np.empty((B, K), dtype=np.int64)
     for b in range(B):  # tiny loop over B, vector ops inside
