@@ -63,7 +63,13 @@ def train(
     seed: int = 42,
     use_mesh: bool = True,
     max_steps_per_epoch: int = 10**9,
+    val_fraction: float = 0.05,
 ) -> dp.TrainState:
+  """Runs L1 behavioural-cloning training.
+
+  A held-out validation L1 is evaluated every epoch (packed datasets)
+  and the best-val params are saved as ``model-best`` — the role of the
+  reference's val DataLoader (cil/train.py 146-165 analogue)."""
   os.makedirs(output_dir, exist_ok=True)
   loggers = [TerminalLogger(label="cil"),
              JSONLLogger(os.path.join(output_dir, "logs"), "cil_train")]
@@ -88,18 +94,23 @@ def train(
     return jnp.mean(jnp.abs(plan - target))
 
   update = dp.make_update_fn(loss_fn, tx, mesh)
+  eval_loss = jax.jit(
+      lambda params, batch: loss_fn(params, batch, jax.random.PRNGKey(0)))
   state = dp.TrainState.create(params, tx, jax.random.fold_in(rng, 1))
   if mesh is not None:
     state = dp.replicate_state(mesh, state)
 
   checkpointer = Checkpointer(os.path.join(output_dir, "ckpts"))
+  have_val = CARLADataset.is_packed(dataset_dir) and val_fraction > 0
+  best_val = float("inf")
 
   for epoch in range(num_epochs):
     losses = []
     t0 = time.time()
-    loader = CARLADataset.make_loader(dataset_dir, MODALITIES,
-                                      batch_size=batch_size, mode=True,
-                                      seed=seed + epoch)
+    loader = CARLADataset.make_loader(
+        dataset_dir, MODALITIES, batch_size=batch_size, mode=True,
+        seed=seed + epoch, split="train" if have_val else None,
+        val_fraction=val_fraction)
     for i, batch in enumerate(loader):
       if i >= max_steps_per_epoch:
         break
@@ -112,6 +123,20 @@ def train(
         "sec": round(time.time() - t0, 2),
         "steps": int(state.step),
     }
+    if have_val:
+      val_losses = [
+          eval_loss(state.params, batch) for batch in
+          CARLADataset.make_loader(dataset_dir, MODALITIES,
+                                   batch_size=batch_size, mode=True,
+                                   split="val", val_fraction=val_fraction)
+      ]
+      if val_losses:
+        val = float(jnp.mean(jnp.stack(val_losses)))
+        record["val_loss"] = val
+        if val < best_val:
+          best_val = val
+          checkpointer.save_named("best", jax.device_get(state.params))
+          record["val_best"] = True
     for logger in loggers:
       logger.write(record)
     if (epoch + 1) % save_model_frequency == 0 or epoch == num_epochs - 1:

@@ -79,7 +79,8 @@ def train(
     use_mesh: bool = True,
     max_steps_per_epoch: int = 10**9,
     resume: bool = False,
-    plot_every: int = 0,
+    plot_every: int = 4,
+    val_fraction: float = 0.05,
 ) -> dp.TrainState:
   """Runs training; returns the final TrainState.
 
@@ -89,6 +90,10 @@ def train(
       reference could not do (it saved weights only, SURVEY.md §5).
     plot_every: if > 0, dump sampled-plan-over-BEV panels every N epochs
       (parity with the reference's TensorBoard `write`, train.py:269-298).
+    val_fraction: held-out validation fraction (packed datasets only).
+      Val NLL is evaluated every epoch and the best-val params are saved
+      as ``model-best`` (reference dim/train.py:146-165,215-242 keeps a
+      separate val DataLoader; best-checkpoint selection is new).
   """
   os.makedirs(output_dir, exist_ok=True)
   log_dir = os.path.join(output_dir, "logs")
@@ -120,7 +125,21 @@ def train(
     return -jnp.mean(log_prob)
 
   update = dp.make_update_fn(loss_fn, tx, mesh)
+  eval_loss = jax.jit(
+      lambda params, batch: loss_fn(params, batch, jax.random.PRNGKey(0)))
   state = dp.TrainState.create(params, tx, jax.random.fold_in(rng, 1))
+
+  have_val = CARLADataset.is_packed(dataset_dir) and val_fraction > 0
+
+  def val_nll(params):
+    if not have_val:
+      return None
+    losses = [
+        eval_loss(params, batch) for batch in CARLADataset.make_loader(
+            dataset_dir, MODALITIES, batch_size=batch_size, split="val",
+            val_fraction=val_fraction)
+    ]
+    return float(jnp.mean(jnp.stack(losses))) if losses else None
 
   state_ckpt = Checkpointer(os.path.join(output_dir, "state"),
                             prefix="train_state")
@@ -136,13 +155,14 @@ def train(
 
   checkpointer = Checkpointer(ckpt_dir)
   limit = nll_limit((num_timesteps_to_keep, 2))
+  best_val = float("inf")
 
   for epoch in range(start_epoch, num_epochs):
     losses = []
     t0 = time.time()
-    loader = CARLADataset.make_loader(dataset_dir, MODALITIES,
-                                      batch_size=batch_size,
-                                      seed=seed + epoch)
+    loader = CARLADataset.make_loader(
+        dataset_dir, MODALITIES, batch_size=batch_size, seed=seed + epoch,
+        split="train" if have_val else None, val_fraction=val_fraction)
     for i, batch in enumerate(loader):
       if i >= max_steps_per_epoch:
         break
@@ -156,6 +176,13 @@ def train(
         "sec": round(time.time() - t0, 2),
         "steps": int(state.step),
     }
+    val = val_nll(state.params)
+    if val is not None:
+      record["val_loss"] = val
+      if val < best_val:
+        best_val = val
+        checkpointer.save_named("best", jax.device_get(state.params))
+        record["val_best"] = True
     for logger in loggers:
       logger.write(record)
     if (epoch + 1) % save_model_frequency == 0 or epoch == num_epochs - 1:
@@ -197,7 +224,8 @@ def main() -> None:
   parser.add_argument("--clip_gradients", action="store_true")
   parser.add_argument("--seed", type=int, default=42)
   parser.add_argument("--resume", action="store_true")
-  parser.add_argument("--plot_every", type=int, default=0)
+  parser.add_argument("--plot_every", type=int, default=4)
+  parser.add_argument("--val_fraction", type=float, default=0.05)
   parser.add_argument("--cpu", action="store_true")
   args = parser.parse_args()
   if args.cpu:
@@ -208,7 +236,8 @@ def main() -> None:
         save_model_frequency=args.save_model_frequency,
         num_timesteps_to_keep=args.num_timesteps_to_keep,
         clip_gradients=args.clip_gradients, seed=args.seed,
-        resume=args.resume, plot_every=args.plot_every)
+        resume=args.resume, plot_every=args.plot_every,
+        val_fraction=args.val_fraction)
 
 
 if __name__ == "__main__":

@@ -44,7 +44,10 @@ def train(
     num_timesteps_to_keep: int = 4,
     seed: int = 42,
     max_steps_per_epoch: int = 10**9,
+    val_fraction: float = 0.05,
 ):
+  """Trains the stacked ensemble; per-epoch held-out val NLL (mean over
+  members) selects the ``ensemble-best`` checkpoint."""
   os.makedirs(output_dir, exist_ok=True)
   loggers = [TerminalLogger(label="rip"),
              JSONLLogger(os.path.join(output_dir, "logs"), "rip_train")]
@@ -84,14 +87,18 @@ def train(
 
   checkpointer = Checkpointer(os.path.join(output_dir, "ckpts"),
                               prefix="ensemble")
+  eval_loss = jax.jit(
+      lambda params, batch: loss_fn(params, batch, jax.random.PRNGKey(0)))
+  have_val = CARLADataset.is_packed(dataset_dir) and val_fraction > 0
+  best_val = float("inf")
   rng = jax.random.PRNGKey(seed + 999)
   step = 0
   for epoch in range(num_epochs):
     losses = []
     t0 = time.time()
-    loader = CARLADataset.make_loader(dataset_dir, MODALITIES,
-                                      batch_size=batch_size,
-                                      seed=seed + epoch)
+    loader = CARLADataset.make_loader(
+        dataset_dir, MODALITIES, batch_size=batch_size, seed=seed + epoch,
+        split="train" if have_val else None, val_fraction=val_fraction)
     for i, batch in enumerate(loader):
       if i >= max_steps_per_epoch:
         break
@@ -100,9 +107,23 @@ def train(
       losses.append(loss)
       step += 1
     mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+    record = {"epoch": epoch, "loss": mean_loss, "models": num_models,
+              "sec": round(time.time() - t0, 2), "steps": step}
+    if have_val:
+      val_losses = [
+          eval_loss(stacked, batch) for batch in CARLADataset.make_loader(
+              dataset_dir, MODALITIES, batch_size=batch_size, split="val",
+              val_fraction=val_fraction)
+      ]
+      if val_losses:
+        val = float(jnp.mean(jnp.stack(val_losses)))
+        record["val_loss"] = val
+        if val < best_val:
+          best_val = val
+          checkpointer.save_named("best", jax.device_get(stacked))
+          record["val_best"] = True
     for logger in loggers:
-      logger.write({"epoch": epoch, "loss": mean_loss, "models": num_models,
-                    "sec": round(time.time() - t0, 2), "steps": step})
+      logger.write(record)
     if (epoch + 1) % save_model_frequency == 0 or epoch == num_epochs - 1:
       checkpointer.save(epoch, jax.device_get(stacked))
 

@@ -539,12 +539,20 @@ class CARLADataset(Dataset):
       seed: int = 0,
       drop_remainder: bool = True,
       dequantize: bool = False,
+      split: Optional[str] = None,
+      val_fraction: float = 0.05,
+      split_seed: int = 1234,
   ) -> Generator[Mapping[str, np.ndarray], None, None]:
     """Yields batches from a packed dataset via memory-mapped reads.
 
     Quantised (uint8) image modalities are yielded as uint8 by default —
     4x less host->device transfer; consumers divide by 255 *inside* jit
     (free on device).  Pass dequantize=True for host-side float batches.
+
+    ``split``: ``"train"``/``"val"`` carve a deterministic held-out
+    validation set from the pack (last ``val_fraction`` of a fixed
+    ``split_seed`` permutation) — the role of the reference's separate
+    val DataLoader (dim/train.py:155-165), without a second on-disk copy.
     """
     import json as _json
     with open(os.path.join(packed_dir, "manifest.json")) as fp:
@@ -556,8 +564,16 @@ class CARLADataset(Dataset):
         for key in manifest["modalities"]
     }
     n = manifest["num_samples"]
-    order = np.arange(n)
+    indices = np.arange(n)
+    if split is not None:
+      perm = np.random.RandomState(split_seed).permutation(n)
+      num_val = max(1, int(round(n * val_fraction)))
+      indices = (np.sort(perm[:-num_val]) if split == "train"
+                 else np.sort(perm[-num_val:]))
+      n = len(indices)
+    order = indices
     if shuffle:
+      order = order.copy()
       np.random.RandomState(seed).shuffle(order)
     stop = n - (n % batch_size) if drop_remainder else n
     for start in range(0, stop, batch_size):
@@ -577,14 +593,22 @@ class CARLADataset(Dataset):
   @classmethod
   def make_loader(cls, dataset_dir: str, modalities: Sequence[str],
                   batch_size: int, mode: bool = False, seed: int = 0,
-                  prefetch: int = 0):
+                  prefetch: int = 0, split: Optional[str] = None,
+                  val_fraction: float = 0.05):
     """Batch loader that auto-detects the packed format.
 
     ``prefetch`` runs the loader in a background thread; measured
     counterproductive on single-core hosts (GIL contention on the
-    fancy-index gather), so it defaults off — enable on multi-core."""
+    fancy-index gather), so it defaults off — enable on multi-core.
+
+    ``split``: "train"/"val" for a deterministic held-out validation
+    subset (packed format only; per-file datasets load everything)."""
     if cls.is_packed(dataset_dir):
-      it = cls.as_jax_packed(dataset_dir, batch_size=batch_size, seed=seed)
+      it = cls.as_jax_packed(
+          dataset_dir, batch_size=batch_size, seed=seed, split=split,
+          val_fraction=val_fraction,
+          shuffle=(split != "val"),
+          drop_remainder=(split != "val"))
     else:
       it = cls.as_jax(dataset_dir, modalities, batch_size=batch_size,
                       mode=mode, seed=seed)

@@ -42,6 +42,30 @@ class Checkpointer:
       data = fp.read()
     return flax.serialization.from_bytes(target, data)
 
+  def _named_path(self, name: str) -> str:
+    return os.path.join(self._ckpt_dir,
+                        "{}-{}.flax".format(self._prefix, name))
+
+  def save_named(self, name: str, state: Any) -> str:
+    """Saves under a symbolic name (e.g. ``model-best.flax``) — used for
+    best-validation-loss checkpoint selection (the reference only saved
+    by epoch, torch/savers.py:39-46)."""
+    path = self._named_path(name)
+    data = flax.serialization.to_bytes(jax.device_get(state))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fp:
+      fp.write(data)
+    os.replace(tmp, path)
+    return path
+
+  def load_named(self, name: str, target: Any) -> Any:
+    with open(self._named_path(name), "rb") as fp:
+      data = fp.read()
+    return flax.serialization.from_bytes(target, data)
+
+  def has_named(self, name: str) -> bool:
+    return os.path.exists(self._named_path(name))
+
   def latest_epoch(self) -> Optional[int]:
     pattern = re.compile(r"^{}-(\d+)\.flax$".format(re.escape(self._prefix)))
     epochs = []
