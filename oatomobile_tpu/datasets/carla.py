@@ -590,6 +590,43 @@ class CARLADataset(Dataset):
   def is_packed(path: str) -> bool:
     return os.path.exists(os.path.join(path, "manifest.json"))
 
+  @staticmethod
+  def merge_packed(packed_dirs: Sequence[str], output_dir: str) -> int:
+    """Concatenates several packed datasets into one (e.g. collection
+    runs with different traffic densities / seeds).  Modalities must
+    match; a modality is stored quantised iff it is quantised in every
+    input.  Returns the merged sample count."""
+    import json as _json
+    os.makedirs(output_dir, exist_ok=True)
+    manifests = []
+    for d in packed_dirs:
+      with open(os.path.join(d, "manifest.json")) as fp:
+        manifests.append(_json.load(fp))
+    keys = manifests[0]["modalities"]
+    for m in manifests[1:]:
+      if m["modalities"] != keys:
+        raise ValueError("Modalities differ across packs: {} vs {}".format(
+            keys, m["modalities"]))
+    quantized = set(manifests[0].get("quantized", []))
+    for m in manifests[1:]:
+      quantized &= set(m.get("quantized", []))
+    total = 0
+    for key in keys:
+      parts = []
+      for d, m in zip(packed_dirs, manifests):
+        arr = np.load(os.path.join(d, "{}.npy".format(key)),
+                      mmap_mode="r")
+        if key in set(m.get("quantized", [])) and key not in quantized:
+          arr = np.asarray(arr).astype(np.float32) / 255.0
+        parts.append(arr)
+      merged = np.concatenate([np.asarray(p) for p in parts], axis=0)
+      np.save(os.path.join(output_dir, "{}.npy".format(key)), merged)
+      total = len(merged)
+    with open(os.path.join(output_dir, "manifest.json"), "w") as fp:
+      _json.dump({"num_samples": total, "modalities": keys,
+                  "quantized": sorted(quantized)}, fp)
+    return total
+
   @classmethod
   def make_loader(cls, dataset_dir: str, modalities: Sequence[str],
                   batch_size: int, mode: bool = False, seed: int = 0,

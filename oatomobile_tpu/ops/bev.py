@@ -53,8 +53,12 @@ _PTS_PER_CHANNEL = LIDAR_PPS // (LIDAR_ROT_HZ * LIDAR_CHANNELS)  # 312
 _SIDEWALK = 2.0
 
 # How many BEV NPC boxes are rasterised (nearest-first); vehicles beyond
-# the 50 m range never contribute.
-MAX_BEV_VEHICLES = 16
+# the 50 m range never contribute.  Sized from measurement: the densest
+# benchmark configuration (100 NPCs in Town02, the smallest town) peaks
+# at 21 vehicles inside the 50 m window over a 600-step rollout
+# (tests/test_sensors_extra.py::test_bev_vehicle_budget_covers_dense_town);
+# 24 covers it with headroom.  16 was measured insufficient (p99 17.2).
+MAX_BEV_VEHICLES = 24
 MAX_BEV_PEDESTRIANS = 16
 # Static geometry rect budgets (nearest-first by point-to-rect distance).
 # Sized from per-town measurement (tests/test_maps.py budget tests) with
@@ -203,12 +207,19 @@ def rects_occupancy(grid_world: jnp.ndarray, rects: jnp.ndarray,
   return jnp.any(inside, axis=-1)
 
 
-def splat_lidar(params, state) -> jnp.ndarray:
+def splat_lidar(params, state, *,
+                max_vehicles: int = MAX_BEV_VEHICLES,
+                max_pedestrians: int = MAX_BEV_PEDESTRIANS) -> jnp.ndarray:
   """Synthesises the [200, 200, 2] BEV LIDAR histogram for one scene.
 
   Output layout matches carla_lidar_measurement_to_ndarray: axis 0 along
   the car's forward axis, axis 1 lateral, channel 0 = below (ground),
   channel 1 = above (obstacles); values in [0, 1] (clipped counts / 5).
+
+  ``max_vehicles``/``max_pedestrians``: static actor rasterisation
+  budgets (nearest-first).  The defaults are validated against the
+  unbudgeted splat on a 100-vehicle scene in
+  tests/test_sensors_extra.py::test_bev_vehicle_budget_vs_unbudgeted.
   """
   hero_xy, hero_yaw = state.hero_xy, state.hero_yaw
   grid_world = _hero_frame_grid(hero_xy, hero_yaw)
@@ -233,7 +244,7 @@ def splat_lidar(params, state) -> jnp.ndarray:
   cos_y, sin_y = jnp.cos(hero_yaw), jnp.sin(hero_yaw)
   if state.num_npcs > 0:
     rel = state.npc_xy - hero_xy[None, :]
-    sel = _nearest_k(rel, state.npc_alive, MAX_BEV_VEHICLES)
+    sel = _nearest_k(rel, state.npc_alive, max_vehicles)
     rel_sel = rel[sel]
     # Rotate into hero frame.
     u = cos_y * rel_sel[:, 0] + sin_y * rel_sel[:, 1]
@@ -251,7 +262,7 @@ def splat_lidar(params, state) -> jnp.ndarray:
 
   if state.num_pedestrians > 0:
     rel = state.ped_xy - hero_xy[None, :]
-    sel = _nearest_k(rel, state.ped_alive, MAX_BEV_PEDESTRIANS)
+    sel = _nearest_k(rel, state.ped_alive, max_pedestrians)
     rel_sel = rel[sel]
     u = cos_y * rel_sel[:, 0] + sin_y * rel_sel[:, 1]
     v = -sin_y * rel_sel[:, 0] + cos_y * rel_sel[:, 1]
