@@ -32,7 +32,10 @@ class CARNOVEL(Benchmark):
   """The CARNOVEL benchmark."""
 
   def load(self, task_id: str, **kwargs) -> CARLANavEnv:
-    env = super().load(task_id, max_episode_steps=1500, **kwargs)
+    # CARNOVEL horizon: 1500 steps (reference carnovel/benchmark.py:70);
+    # callers may override (e.g. short demo episodes).
+    kwargs.setdefault("max_episode_steps", 1500)
+    env = super().load(task_id, **kwargs)
     env = TerminateOnCollisionWrapper(env)
     return env
 

@@ -215,11 +215,19 @@ class MonitorWrapper(Wrapper):
                env: Env,
                *,
                output_fname: str,
-               downsample_factor: int = 1) -> None:
+               downsample_factor: int = 1,
+               render_mode: str = "rgb_array",
+               record_every: int = 1) -> None:
+    """``render_mode="human"`` records the multi-panel dashboard
+    (camera + bird view + LIDAR + HUD) instead of the bird view;
+    ``record_every=N`` keeps every Nth frame (20 Hz sim -> 20/N Hz gif)."""
     super().__init__(env=env)
     import imageio
     self._output_fname = output_fname
     self._downsample_factor = downsample_factor
+    self._render_mode = render_mode
+    self._record_every = max(1, int(record_every))
+    self._frame_count = 0
     self._recorder = imageio.get_writer(self._output_fname, mode="I")
 
   def reset(self, *args: Any, **kwargs: Any) -> Observations:
@@ -233,7 +241,10 @@ class MonitorWrapper(Wrapper):
     return observation, reward, done, info
 
   def _record_frame(self) -> None:
-    frame = np.asarray(self.render(mode="rgb_array"))
+    self._frame_count += 1
+    if (self._frame_count - 1) % self._record_every:
+      return
+    frame = np.asarray(self.render(mode=self._render_mode))
     factor = self._downsample_factor
     if factor > 1:
       frame = frame[::factor, ::factor]

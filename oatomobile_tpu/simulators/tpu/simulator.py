@@ -21,6 +21,7 @@ from oatomobile_tpu.core.registry import registry
 from oatomobile_tpu.core.simulator import (Observations, Sensor, SensorSuite,
                                            Simulator)
 from oatomobile_tpu.maps import load_town
+from oatomobile_tpu.ops import bev as bev_ops
 from oatomobile_tpu.sensors import synth
 from oatomobile_tpu.sim import init_scene, make_params, world_step
 from oatomobile_tpu.simulators.tpu import defaults
@@ -322,6 +323,8 @@ class TPUSimulator(Simulator):
     self._state = None
     self._fused_step = None
     self._warmup_fn = None
+    self._dashboard_fn = None
+    self._last_action = None
 
   # -- Simulator interface -------------------------------------------------
 
@@ -414,6 +417,7 @@ class TPUSimulator(Simulator):
   def step(self, action: Any, *args: Any, **kwargs: Any) -> Observations:
     action_arr = jnp.asarray(_to_action_array(action))
     self._state, obs = self._fused_step(self._params, self._state, action_arr)
+    self._last_action = np.asarray(action_arr)
     return self._materialise(obs)
 
   def _materialise(self, obs: Mapping[str, jnp.ndarray]) -> Observations:
@@ -426,14 +430,47 @@ class TPUSimulator(Simulator):
 
   def render(self, mode: str = "rgb_array", *args: Any,
              **kwargs: Any) -> np.ndarray:
-    """Renders the scene as a bird's-eye RGB frame (host-side)."""
+    """Renders the scene (host-side).
+
+    ``rgb_array``: bird's-eye RGB frame.
+    ``human``: multi-panel dashboard — front camera + bird view + LIDAR
+    splat + state HUD (speed, control bars, collision flag), the role of
+    the reference's pygame dashboard (utils/graphics.py:204-382).
+    """
     if self._state is None:
       return np.zeros((defaults.BIRD_VIEW_IMAGE_SIZE,
                        defaults.BIRD_VIEW_IMAGE_SIZE, 3), dtype=np.uint8)
+    if mode == "human":
+      return self._render_dashboard()
     frame = np.asarray(
         jax.jit(synth.bird_view_rgb)(self._params, self._state))
     frame = (np.clip(frame, 0.0, 1.0) * 255).astype(np.uint8)
     return frame
+
+  def _render_dashboard(self) -> np.ndarray:
+    from oatomobile_tpu.sensors import cameras
+    from oatomobile_tpu.utils import graphics
+
+    if self._dashboard_fn is None:
+      def panels_fn(params, state):
+        return {
+            "front_camera_rgb": cameras.camera_rgb(params, state, 0.0),
+            "bird_view": synth.bird_view_rgb(params, state),
+            "lidar": bev_ops.splat_lidar(params, state),
+        }
+      self._dashboard_fn = jax.jit(panels_fn)
+    panels = jax.device_get(self._dashboard_fn(self._params, self._state))
+    state = self._state
+    last = self._last_action
+    hud = {
+        "speed_mps": float(jax.device_get(state.hero_speed)),
+        "step": int(jax.device_get(state.step)),
+        "collided": float(jax.device_get(state.collision)) > 0,
+        "throttle": float(last[0]) if last is not None else 0.0,
+        "steer": float(last[1]) if last is not None else 0.0,
+        "brake": float(last[2]) if last is not None else 0.0,
+    }
+    return graphics.compose_dashboard_frame(panels, hud)
 
   def close(self) -> None:
     self._state = None

@@ -78,6 +78,110 @@ def make_dashboard(observations: Mapping[str, np.ndarray],
   return fig
 
 
+def _to_uint8(img: np.ndarray) -> np.ndarray:
+  img = np.asarray(img)
+  if img.dtype != np.uint8:
+    img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+  return img
+
+
+def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+  """Nearest-neighbour resize without external deps (HUD-grade)."""
+  ys = (np.arange(h) * img.shape[0] / h).astype(np.int32)
+  xs = (np.arange(w) * img.shape[1] / w).astype(np.int32)
+  return img[ys][:, xs]
+
+
+def compose_dashboard_frame(
+    panels: Mapping[str, np.ndarray],
+    hud: Optional[Mapping[str, object]] = None,
+    panel_size: int = 240,
+) -> np.ndarray:
+  """Composes sensor panels + a state HUD into one uint8 frame.
+
+  The live multi-sensor "human" display of the reference
+  (utils/graphics.py:204-382 make_dashboard: camera views side by side
+  over a pygame window) as a pure-numpy compositor — fast enough to run
+  per step for MonitorWrapper GIFs (matplotlib costs ~100 ms/frame;
+  this is ~1 ms).
+
+  Args:
+    panels: name -> image ([H, W, 3] RGB float/uint8, or [H, W, 2]
+      LIDAR splats which get colorised).
+    hud: optional scalars (speed_mps, step, collided, throttle, steer,
+      brake) drawn as a readout strip under the panels.
+    panel_size: each panel is letterboxed into a panel_size^2 tile.
+
+  Returns a [panel_size (+hud), N * panel_size, 3] uint8 image.
+  """
+  tiles = []
+  for name, img in panels.items():
+    img = np.asarray(img)
+    if img.ndim == 3 and img.shape[-1] == 2:
+      img = lidar_2darray_to_rgb(img)
+    img = _to_uint8(img)
+    if img.ndim == 2:
+      img = np.stack([img] * 3, axis=-1)
+    # Letterbox into a square tile, preserving aspect.
+    h, w = img.shape[:2]
+    scale = min(panel_size / h, panel_size / w)
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    resized = _resize_nearest(img, nh, nw)
+    tile = np.zeros((panel_size, panel_size, 3), dtype=np.uint8)
+    y0 = (panel_size - nh) // 2
+    x0 = (panel_size - nw) // 2
+    tile[y0:y0 + nh, x0:x0 + nw] = resized
+    tiles.append(tile)
+  if not tiles:
+    raise ValueError("No panels to compose")
+  frame = np.concatenate(tiles, axis=1)
+
+  if hud is not None:
+    frame = np.concatenate([frame, _hud_strip(hud, frame.shape[1])], axis=0)
+  return frame
+
+
+def _hud_strip(hud: Mapping[str, object], width: int,
+               height: int = 36) -> np.ndarray:
+  """Text + bar readout strip (PIL text; bars for control channels)."""
+  strip = np.full((height, width, 3), 24, dtype=np.uint8)
+
+  # Control bars: throttle (green), brake (red), steer (blue, centered).
+  def bar(row, frac, color, lo=0.0, hi=1.0):
+    frac = float(np.clip((frac - lo) / (hi - lo), 0.0, 1.0))
+    x1 = int(8 + frac * (width // 3 - 16))
+    strip[row:row + 6, 8:max(x1, 9)] = color
+
+  if "throttle" in hud:
+    bar(6, hud["throttle"], (80, 200, 80))
+  if "brake" in hud:
+    bar(16, hud["brake"], (220, 80, 80))
+  if "steer" in hud:
+    bar(26, hud["steer"], (90, 140, 240), lo=-1.0, hi=1.0)
+
+  text_parts = []
+  if "speed_mps" in hud:
+    text_parts.append("{:4.1f} km/h".format(3.6 * float(hud["speed_mps"])))
+  if "step" in hud:
+    text_parts.append("t={}".format(int(hud["step"])))
+  if hud.get("collided"):
+    text_parts.append("COLLISION")
+  if text_parts:
+    try:
+      from PIL import Image, ImageDraw
+      img = Image.fromarray(strip)
+      draw = ImageDraw.Draw(img)
+      draw.text((width // 3 + 12, 10), "   ".join(text_parts),
+                fill=(230, 230, 230))
+      if hud.get("collided"):
+        draw.rectangle([width - 14, 6, width - 6, height - 6],
+                       fill=(255, 40, 40))
+      strip = np.asarray(img)
+    except ImportError:
+      pass  # bars-only HUD
+  return strip
+
+
 def plot_trajectory_overlay(bev: np.ndarray,
                             trajectories: Mapping[str, np.ndarray],
                             meters: float = 25.0,

@@ -108,6 +108,33 @@ def test_render_returns_rgb(env):
   assert frame.dtype == np.uint8
 
 
+def test_render_human_dashboard(env, tmp_path):
+  env.reset()
+  env.step({"throttle": 0.5})
+  frame = env.render(mode="human")
+  # Three square panels side by side + HUD strip underneath.
+  assert frame.dtype == np.uint8
+  assert frame.shape[1] == 3 * 240
+  assert frame.shape[0] > 240  # HUD strip adds rows
+  assert frame.max() > 0
+
+  # MonitorWrapper records the dashboard and flushes on close.
+  from oatomobile_tpu.core.rl import MonitorWrapper
+  out = str(tmp_path / "dash.gif")
+  wrapped = MonitorWrapper(
+      CARLAEnv(town="Town02", sensors=("velocity",), spawn_point=3,
+               destination=40),
+      output_fname=out, render_mode="human", record_every=2)
+  wrapped.reset()
+  for _ in range(4):
+    wrapped.step({"throttle": 0.5})
+  wrapped.close()
+  import imageio.v2 as imageio
+  frames = imageio.mimread(out)
+  assert len(frames) == 3  # 5 render calls, every 2nd kept
+  assert frames[0].shape[1] == 3 * 240
+
+
 def test_predictions_write_back(env):
   env.reset()
   plan = np.ones((4, 2), dtype=np.float32)
