@@ -92,3 +92,32 @@ def test_packed_quantization_allowlist(tmp_path):
   assert quantized == ["lidar"]
   assert np.load(tmp_path / "player_future.npy").dtype == np.float32
   assert np.load(tmp_path / "lidar.npy").dtype == np.uint8
+
+
+def test_cil_policy_drives_batched():
+  """In-graph CIL policy (untrained): compiles, drives, produces finite
+  actions, and the mode labels respond to goal geometry."""
+  from oatomobile_tpu.baselines.learned.cil.policy import (
+      make_cil_policy, mode_from_goal_jnp)
+  from oatomobile_tpu.models.cil import BehaviouralModel
+
+  goal = jnp.zeros((3, 10, 2))
+  goal = goal.at[0, -1].set(jnp.asarray([10.0, 0.0]))   # ahead -> FORWARD
+  goal = goal.at[1, -1].set(jnp.asarray([5.0, 8.0]))    # right -> 3
+  goal = goal.at[2, -1].set(jnp.asarray([1.0, 0.0]))    # near -> STOP
+  np.testing.assert_array_equal(np.asarray(mode_from_goal_jnp(goal)),
+                                [0.0, 3.0, 1.0])
+
+  model = BehaviouralModel(output_shape=(40, 2))
+  ctx = dict(visual_features=jnp.zeros((1, 100, 100, 2)),
+             velocity=jnp.zeros((1, 3)),
+             is_at_traffic_light=jnp.zeros((1, 1)),
+             traffic_light_state=jnp.zeros((1, 1)),
+             mode=jnp.zeros((1, 1)))
+  params = model.init(jax.random.PRNGKey(0), **ctx)
+  policy = make_cil_policy(model, params)
+  env2 = BatchedEnv("Town01", batch_size=2, seed=7, auto_reset=False,
+                    sensors=("location",))
+  env2.reset()
+  _, _, stats = env2.rollout(10, policy=policy, collect=())
+  assert np.isfinite(np.asarray(stats["distance"])).all()
