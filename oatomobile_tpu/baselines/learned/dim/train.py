@@ -81,6 +81,7 @@ def train(
     resume: bool = False,
     plot_every: int = 4,
     val_fraction: float = 0.05,
+    tensorboard: bool = False,
 ) -> dp.TrainState:
   """Runs training; returns the final TrainState.
 
@@ -99,6 +100,10 @@ def train(
   log_dir = os.path.join(output_dir, "logs")
   ckpt_dir = os.path.join(output_dir, "ckpts")
   loggers = [TerminalLogger(label="dim"), JSONLLogger(log_dir, "dim_train")]
+  if tensorboard:
+    from oatomobile_tpu.utils.loggers import TensorBoardLogger
+    loggers.append(TensorBoardLogger(os.path.join(log_dir, "tb"),
+                                     label="dim"))
 
   model = ImitativeModel(output_shape=(num_timesteps_to_keep, 2))
   mesh = mesh_lib.make_mesh() if use_mesh and jax.device_count() > 1 \
@@ -226,6 +231,7 @@ def main() -> None:
   parser.add_argument("--resume", action="store_true")
   parser.add_argument("--plot_every", type=int, default=4)
   parser.add_argument("--val_fraction", type=float, default=0.05)
+  parser.add_argument("--tensorboard", action="store_true")
   parser.add_argument("--cpu", action="store_true")
   args = parser.parse_args()
   if args.cpu:
@@ -237,7 +243,7 @@ def main() -> None:
         num_timesteps_to_keep=args.num_timesteps_to_keep,
         clip_gradients=args.clip_gradients, seed=args.seed,
         resume=args.resume, plot_every=args.plot_every,
-        val_fraction=args.val_fraction)
+        val_fraction=args.val_fraction, tensorboard=args.tensorboard)
 
 
 if __name__ == "__main__":

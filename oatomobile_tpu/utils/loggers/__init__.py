@@ -16,9 +16,18 @@ __all__ = [
     "NoOpLogger",
     "CSVLogger",
     "JSONLLogger",
+    "TensorBoardLogger",
     "TerminalLogger",
     "WandBLogger",
 ]
+
+
+def TensorBoardLogger(*args, **kwargs):  # noqa: N802 (lazy factory)
+  """Returns a TensorBoard-backed logger (scalars + image summaries,
+  reference torch/loggers.py:37-141); import-gated on tensorboard."""
+  from oatomobile_tpu.utils.loggers.tensorboard import (
+      TensorBoardLogger as _TBLogger)
+  return _TBLogger(*args, **kwargs)
 
 
 def WandBLogger(*args, **kwargs):  # noqa: N802 (factory keeping the ref name)
