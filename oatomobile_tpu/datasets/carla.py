@@ -310,7 +310,8 @@ class CARLADataset(Dataset):
     from oatomobile_tpu.sim import autopilot_policy
 
     os.makedirs(output_dir, exist_ok=True)
-    sensors = tuple(set(modalities) | {"location", "rotation"})
+    sensors = tuple(set(modalities) | {"location", "rotation",
+                                       "collision"})
     buffers: dict = {key: [] for key in list(modalities) +
                      ["player_past", "player_future", "location",
                       "rotation"]}
@@ -334,10 +335,21 @@ class CARLADataset(Dataset):
       locations = collected["location"]      # [T, B, 3]
       rotations = collected["rotation"]      # [T, B, 3]
       T, B = locations.shape[:2]
+      # Windows are only cut from PRE-collision driving: a crashed scene
+      # sits pinned against the obstacle for the rest of the rollout, and
+      # those stationary frames would teach the imitation models to park
+      # (the reference's collect wraps the env in
+      # TerminateOnCollisionWrapper for the same reason,
+      # datasets/carla.py:224-228).
+      collided = np.asarray(collected["collision"]) > 0  # [T, B]
+      crash_t = np.where(collided.any(axis=0),
+                         collided.argmax(axis=0), T)     # [B]
       centers = np.arange(past_length, T - future_length, num_frame_skips)
       for b in range(B):
         loc_b = locations[:, b].astype(np.float64)
         for i in centers:
+          if i + future_length >= crash_t[b]:
+            continue
           past = tf_ops_mod.np_world2local(
               current_location=loc_b[i], current_rotation=rotations[i, b],
               world_locations=loc_b[i - past_length:i])
