@@ -11,6 +11,7 @@ replaced by the same in-repo PID used by the in-graph autopilot
 """
 
 import abc
+import collections
 from typing import Any, Mapping, Optional
 
 import numpy as np
@@ -34,25 +35,25 @@ LONGITUDINAL_PID_CONTROLLER_CONFIG = {
     "dt": 1.0 / SIMULATOR_FPS,
 }
 
-_PID_WINDUP = 10.0
+_PID_WINDOW = 30  # CARLA's error deque length (see sim/dynamics.pid_update).
 
 
 class _HostPID:
-  """Scalar PID with clamped integral (host-side twin of
-  sim/dynamics.pid_update)."""
+  """Scalar PID with sliding-window integral (host-side twin of
+  sim/dynamics.pid_update, matching CARLA's deque(maxlen=30))."""
 
   def __init__(self, k_p: float, k_d: float, k_i: float, dt: float) -> None:
     self.k_p, self.k_d, self.k_i, self.dt = k_p, k_d, k_i, dt
-    self.integral = 0.0
+    self.err_buf = collections.deque(maxlen=_PID_WINDOW)
     self.prev_error = 0.0
 
   def step(self, error: float) -> float:
     derivative = (error - self.prev_error) / self.dt
-    self.integral = float(
-        np.clip(self.integral + error * self.dt, -_PID_WINDUP, _PID_WINDUP))
+    self.err_buf.append(error)
+    integral = sum(self.err_buf) * self.dt
     self.prev_error = error
     return (self.k_p * error + self.k_d * derivative +
-            self.k_i * self.integral)
+            self.k_i * integral)
 
 
 class SetPointAgent(oatomobile_tpu.Agent):

@@ -35,8 +35,26 @@ def plan_to_action(
     setpoint_frac: float = 0.5,
     use_brake: bool = True,
     curvature_slowdown: bool = True,
+    warmup_floor: float = 20.0 / 3.6,
+    goal: jnp.ndarray = None,
+    speed_gain: float = 1.0,
 ) -> Tuple[jnp.ndarray, SceneState]:
   """Converts an ego-frame plan batch [B, T, 2] into actions [B, 3].
+
+  Args:
+    goal: optional [B, G, 2] ego-frame route waypoints (the goal sensor).
+      When given, steers toward the first waypoint >= 4 m ahead whenever
+      the plan is degenerate (endpoint closer than 2 m: a standstill
+      plan carries no usable direction — measured plans at v = 0 point
+      sideways or even backward, which pins the lateral PID at +-pi and
+      restarts the vehicle at full steering lock).
+    speed_gain: multiplier on the plan-derived target speed.  The model's
+      predicted speed tracks its CURRENT speed (imitation inertia), so a
+      gain of exactly 1.0 is only marginally stable — any disturbance
+      that slows the car lowers the next prediction and spirals to a
+      standstill.  A gain slightly above 1 biases the loop back toward
+      cruise; stops still happen because a stopping plan collapses
+      toward zero faster than the gain can offset.
 
   Returns (actions, states with updated PID controllers).
   """
@@ -46,6 +64,18 @@ def plan_to_action(
   # interpolated index-5 setpoint.
   setpoint_local = ((1.0 - setpoint_frac) * plan[:, 0] +
                     setpoint_frac * plan[:, 1])
+  if goal is not None:
+    plan_reach = jnp.linalg.norm(plan[:, -1], axis=-1)          # [B]
+    dist = jnp.linalg.norm(goal, axis=-1)                       # [B, G]
+    ahead = dist >= 4.0
+    # First waypoint >= 4 m out; the farthest one when none qualifies.
+    idx = jnp.where(jnp.any(ahead, axis=-1),
+                    jnp.argmax(ahead, axis=-1),
+                    jnp.argmax(dist, axis=-1))                  # [B]
+    fallback = jnp.take_along_axis(goal, idx[:, None, None],
+                                   axis=1)[:, 0]                # [B, 2]
+    setpoint_local = jnp.where((plan_reach < 2.0)[:, None],
+                               fallback, setpoint_local)
 
   # Physically-correct target speed: consecutive plan points are
   # _PLAN_DT apart (future 80 steps @20 Hz downsampled to 4).  The
@@ -53,9 +83,10 @@ def plan_to_action(
   # loop runs away to 3x (out-of-distribution velocities beget larger
   # predicted displacements) — measured 17.7 m/s vs the 5.56 m/s
   # expert.  Deviation documented in PARITY.md.
-  target_speed = jnp.linalg.norm(plan[:, 1] - plan[:, 0],
-                                 axis=-1) / _PLAN_DT
+  target_speed = speed_gain * jnp.linalg.norm(plan[:, 1] - plan[:, 0],
+                                              axis=-1) / _PLAN_DT
 
+  slow = jnp.ones(plan.shape[0], plan.dtype)
   if curvature_slowdown:
     # Bend of the plan: max heading change between consecutive plan
     # segments plus the initial heading offset (the first segment's
@@ -74,10 +105,17 @@ def plan_to_action(
 
   limit = world_params.map["wp_speed_limit"][states.hero_wp]
   target_speed = jnp.minimum(target_speed, limit)
-  # Spawn warm-up floor (base.py:165-167).
-  target_speed = jnp.where(states.step <= 100,
-                           jnp.maximum(target_speed, 20.0 / 3.6),
-                           target_speed)
+  # Spawn warm-up floor (base.py:165-167): bootstraps motion out of the
+  # v=0 regime where the model's predicted displacements collapse.  The
+  # floor itself is scaled by the plan-curvature factor — the reference's
+  # unconditional 20 km/h floor forces full speed through bends for the
+  # first 100 steps, which is lethal on CARNOVEL spawns that open onto
+  # abnormal turns (measured: crashes cluster at t~95 at exactly floor
+  # speed).
+  if warmup_floor > 0.0:
+    target_speed = jnp.where(states.step <= 100,
+                             jnp.maximum(target_speed, warmup_floor * slow),
+                             target_speed)
 
   # Ego -> world.
   cos_y = jnp.cos(states.hero_yaw)
@@ -97,8 +135,9 @@ def plan_to_action(
   if use_brake:
     throttle, brake, pid_lon = jax.vmap(
         lambda p, v, t: dynamics.longitudinal_control_with_brake(
-            p, v, t, world_params.dt))(states.pid_lon, states.hero_speed,
-                                       target_speed)
+            p, v, t, world_params.dt, brake_deadband=1.0,
+            brake_slope=0.25))(states.pid_lon, states.hero_speed,
+                               target_speed)
   else:
     throttle, pid_lon = jax.vmap(
         lambda p, v, t: dynamics.longitudinal_control(

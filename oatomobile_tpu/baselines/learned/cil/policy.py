@@ -36,7 +36,9 @@ def make_cil_policy(model: BehaviouralModel,
                     *,
                     setpoint_frac: float = 0.5,
                     use_brake: bool = True,
-                    curvature_slowdown: bool = True):
+                    curvature_slowdown: bool = True,
+                    warmup_floor: float = 20.0 / 3.6,
+                    speed_gain: float = 1.0):
   """Returns `policy(world_params, states) -> (actions [B,3], states)`."""
 
   def policy(world_params: WorldParams,
@@ -44,7 +46,8 @@ def make_cil_policy(model: BehaviouralModel,
     obs = jax.vmap(
         lambda s: synth.synthesize(world_params, s, _OBS_KEYS))(states)
     sample = model.transform({"lidar": obs["lidar"]})
-    mode = mode_from_goal_jnp(obs["goal"][..., :2])
+    goal = obs["goal"][..., :2]
+    mode = mode_from_goal_jnp(goal)
     context = dict(
         visual_features=sample["visual_features"],
         velocity=obs["velocity"],
@@ -61,6 +64,7 @@ def make_cil_policy(model: BehaviouralModel,
 
     return bridge.plan_to_action(
         world_params, states, plan, setpoint_frac=setpoint_frac,
-        use_brake=use_brake, curvature_slowdown=curvature_slowdown)
+        use_brake=use_brake, curvature_slowdown=curvature_slowdown,
+        warmup_floor=warmup_floor, goal=goal, speed_gain=speed_gain)
 
   return policy

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from oatomobile_tpu.baselines.learned.dim.train import (VELOCITY_DROPOUT,
+                                                        dropout_velocity)
 from oatomobile_tpu.datasets.carla import CARLADataset
 from oatomobile_tpu.models.cil import BehaviouralModel
 from oatomobile_tpu.parallel import dp, mesh as mesh_lib
@@ -64,6 +66,7 @@ def train(
     use_mesh: bool = True,
     max_steps_per_epoch: int = 10**9,
     val_fraction: float = 0.05,
+    velocity_dropout: float = VELOCITY_DROPOUT,
 ) -> dp.TrainState:
   """Runs L1 behavioural-cloning training.
 
@@ -87,8 +90,8 @@ def train(
   tx = optax.adam(learning_rate)
 
   def loss_fn(params, batch, step_rng):
-    del step_rng
     sample, context = make_context(model, batch)
+    context = dropout_velocity(context, step_rng, velocity_dropout)
     target = sample["player_future"][..., :2]
     plan = model.apply(params, **context)
     return jnp.mean(jnp.abs(plan - target))

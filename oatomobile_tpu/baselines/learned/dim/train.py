@@ -33,6 +33,26 @@ MODALITIES = (
 )
 
 NOISE_STD = 1e-2  # target perturbation (train.py:57, 186-189)
+VELOCITY_DROPOUT = 0.25  # per-sample velocity-context dropout (see below)
+
+
+def dropout_velocity(context, rng, rate: float):
+  """Zeroes the velocity context for a random ``rate`` fraction of samples.
+
+  Counter-measure for the imitation "inertia problem": a model whose
+  predicted future speed tracks its input speed is only marginally stable
+  in closed loop — any disturbance that slows the vehicle lowers the next
+  prediction and spirals to a mid-block standstill (measured on Town01;
+  the failure class is documented in Codevilla et al., "Exploring the
+  Limitations of Behavior Cloning for Autonomous Driving").  Dropping the
+  speed input for a fraction of training samples forces the model to also
+  infer motion from visual context.
+  """
+  if rate <= 0.0:
+    return context
+  keep = jax.random.bernoulli(
+      rng, 1.0 - rate, (context["velocity"].shape[0], 1)).astype(jnp.float32)
+  return dict(context, velocity=context["velocity"] * keep)
 
 
 def nll_limit(output_shape, noise_std: float = NOISE_STD) -> float:
@@ -82,6 +102,7 @@ def train(
     plot_every: int = 4,
     val_fraction: float = 0.05,
     tensorboard: bool = False,
+    velocity_dropout: float = VELOCITY_DROPOUT,
 ) -> dp.TrainState:
   """Runs training; returns the final TrainState.
 
@@ -124,8 +145,10 @@ def train(
 
   def loss_fn(params, batch, step_rng):
     sample, context = make_context(model, batch)
+    rng_noise, rng_drop = jax.random.split(step_rng)
+    context = dropout_velocity(context, rng_drop, velocity_dropout)
     y = sample["player_future"][..., :2]
-    y = y + NOISE_STD * jax.random.normal(step_rng, y.shape)
+    y = y + NOISE_STD * jax.random.normal(rng_noise, y.shape)
     log_prob = model.apply(params, y, method=model.log_prob, **context)
     return -jnp.mean(log_prob)
 

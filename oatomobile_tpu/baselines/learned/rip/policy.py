@@ -35,7 +35,9 @@ def make_rip_policy(model: ImitativeModel,
                     epsilon: float = 1.0,
                     setpoint_frac: float = 0.5,
                     use_brake: bool = True,
-                    curvature_slowdown: bool = True):
+                    curvature_slowdown: bool = True,
+                    warmup_floor: float = 20.0 / 3.6,
+                    speed_gain: float = 1.0):
   """Returns `policy(world_params, states) -> (actions [B,3], states)`."""
 
   def policy(world_params: WorldParams,
@@ -59,6 +61,7 @@ def make_rip_policy(model: ImitativeModel,
 
     return bridge.plan_to_action(
         world_params, states, plan, setpoint_frac=setpoint_frac,
-        use_brake=use_brake, curvature_slowdown=curvature_slowdown)
+        use_brake=use_brake, curvature_slowdown=curvature_slowdown,
+        warmup_floor=warmup_floor, goal=goal, speed_gain=speed_gain)
 
   return policy

@@ -20,6 +20,8 @@ import optax
 
 from oatomobile_tpu.baselines.learned.dim.train import (MODALITIES,
                                                         NOISE_STD,
+                                                        VELOCITY_DROPOUT,
+                                                        dropout_velocity,
                                                         make_context)
 from oatomobile_tpu.datasets.carla import CARLADataset
 from oatomobile_tpu.models.dim import ImitativeModel
@@ -45,6 +47,7 @@ def train(
     seed: int = 42,
     max_steps_per_epoch: int = 10**9,
     val_fraction: float = 0.05,
+    velocity_dropout: float = VELOCITY_DROPOUT,
 ):
   """Trains the stacked ensemble; per-epoch held-out val NLL (mean over
   members) selects the ``ensemble-best`` checkpoint."""
@@ -72,8 +75,10 @@ def train(
     y = sample["player_future"][..., :2]
 
     def member(params_k, rng_k):
-      noisy = y + NOISE_STD * jax.random.normal(rng_k, y.shape)
-      lp = model.apply(params_k, noisy, method=model.log_prob, **context)
+      rng_noise, rng_drop = jax.random.split(rng_k)
+      ctx_k = dropout_velocity(context, rng_drop, velocity_dropout)
+      noisy = y + NOISE_STD * jax.random.normal(rng_noise, y.shape)
+      lp = model.apply(params_k, noisy, method=model.log_prob, **ctx_k)
       return -jnp.mean(lp)
 
     rngs = jax.random.split(rng, num_models)

@@ -17,12 +17,11 @@ from oatomobile_tpu.sim.types import PIDState, VehicleSpec
 # Reference PID gains (baselines/base.py:32-43).
 LATERAL_PID = {"K_P": 1.95, "K_D": 0.01, "K_I": 1.4}
 LONGITUDINAL_PID = {"K_P": 1.0, "K_D": 0.0, "K_I": 1.0}
-# Integral windup clamp: CARLA integrates a 30-sample error deque, i.e. a
-# BOUNDED memory of 30 * dt * err <= ~2.4 for saturated heading errors.  A
-# loose clamp (10.0 in round 1) let the lateral integral hold full-lock
-# steering for seconds after a hazard stop at a hairpin — the measured
-# cause of every wall collision on the Town03 serpentine.
-PID_WINDUP = 2.5
+# The integral term is a 30-sample sliding window (see pid_update /
+# types.PIDState) matching CARLA's error deque — bounded to
+# 30 * dt * err <= ~2.4 for saturated heading errors and self-flushing
+# within 1.5 s, unlike the round-1 clamped accumulator which latched
+# full-lock steering through every standstill.
 
 
 def bicycle_step(
@@ -64,11 +63,20 @@ def bicycle_step(
 def pid_update(state: PIDState, error: jnp.ndarray, dt: jnp.ndarray,
                k_p: float, k_d: float, k_i: float) -> Tuple[jnp.ndarray,
                                                             PIDState]:
-  """Single PID update with clamped integral (anti-windup)."""
+  """Single PID update with CARLA's sliding-window integral.
+
+  CARLA's controllers integrate ``sum(deque(maxlen=30)) * dt`` — a
+  bounded, self-flushing window rather than an accumulator.  Emulated
+  here as a shift register along the last axis (elementwise over any
+  leading batch shape).  See PIDState for why the window (vs a clamped
+  accumulator) is behaviourally essential at standstill.
+  """
   derivative = (error - state.prev_error) / dt
-  integral = jnp.clip(state.integral + error * dt, -PID_WINDUP, PID_WINDUP)
+  err_buf = jnp.concatenate(
+      [state.err_buf[..., 1:], error[..., None]], axis=-1)
+  integral = jnp.sum(err_buf, axis=-1) * dt
   out = k_p * error + k_d * derivative + k_i * integral
-  return out, PIDState(integral=integral, prev_error=error)
+  return out, PIDState(err_buf=err_buf, prev_error=error)
 
 
 def longitudinal_control(state: PIDState, current_speed: jnp.ndarray,
@@ -87,13 +95,24 @@ def longitudinal_control(state: PIDState, current_speed: jnp.ndarray,
 
 def longitudinal_control_with_brake(
     state: PIDState, current_speed: jnp.ndarray, target_speed: jnp.ndarray,
-    dt: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, PIDState]:
+    dt: jnp.ndarray, *, brake_deadband: float = 0.1,
+    brake_slope: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray, PIDState]:
   """(throttle, brake, state) from speed error.
 
   Deviation from the reference: CARLA's PIDLongitudinalController clips to
   [0, 1] — agents can never brake except at hazard stops, so they coast
   through route ends and carry full speed into hairpins.  Here a negative
-  PID output maps to the brake pedal.
+  PID output maps to the brake pedal past a dead-band:
+  ``brake = brake_slope * (-out - brake_deadband)``.
+
+  The defaults (tight dead-band, steep slope) suit the privileged
+  autopilot, whose speed command is a clean route-curvature program.
+  Learned bridges should pass a WIDE dead-band (~1.0) and gentle slope:
+  the PID operates in km/h (K_P = 1.0), so a +-0.3 m/s tracking ripple
+  at cruise already produces out ~ -1, and braking on that ripple
+  measurably destabilises learned agents (the model, conditioned on the
+  lower speed, predicts a slower future -> lower target -> more brake ->
+  standstill mid-block).
   """
   error = (target_speed - current_speed) * 3.6
   out, new_state = pid_update(state, error, dt, **{
@@ -102,7 +121,7 @@ def longitudinal_control_with_brake(
       "k_i": LONGITUDINAL_PID["K_I"],
   })
   throttle = jnp.clip(out, 0.0, 1.0)
-  brake = jnp.clip(-out - 0.1, 0.0, 1.0)  # small dead-band: coast first
+  brake = jnp.clip(brake_slope * (-out - brake_deadband), 0.0, 1.0)
   return throttle, brake, new_state
 
 

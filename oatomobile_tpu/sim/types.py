@@ -62,15 +62,34 @@ class WorldParams:
   road_budget: int = struct.field(pytree_node=False, default=16)
 
 
+PID_WINDOW = 30  # CARLA's controller keeps a 30-sample error deque.
+
+
 @struct.dataclass
 class PIDState:
-  """Integral + previous-error state for one PID controller."""
-  integral: jnp.ndarray
+  """Sliding error window + previous error for one PID controller.
+
+  CARLA's PIDLateral/LongitudinalController integrate a bounded
+  ``deque(maxlen=30)`` of recent errors — NOT an unbounded accumulator.
+  That distinction is load-bearing: with a true integrator, a vehicle
+  parked at a red light with a slightly off-axis setpoint winds the
+  lateral term to saturation and restarts at full steering lock
+  (measured: the dominant learned-agent crash mode before this change).
+  With the window, the integral term flushes within 30 ticks (1.5 s)
+  of the error dropping.
+  """
+  err_buf: jnp.ndarray    # [..., PID_WINDOW] f32, ring of recent errors
   prev_error: jnp.ndarray
 
   @classmethod
   def zero(cls) -> "PIDState":
-    return cls(integral=jnp.float32(0.0), prev_error=jnp.float32(0.0))
+    return cls(err_buf=jnp.zeros((PID_WINDOW,), jnp.float32),
+               prev_error=jnp.float32(0.0))
+
+  @classmethod
+  def zero_batch(cls, batch_size: int) -> "PIDState":
+    return cls(err_buf=jnp.zeros((batch_size, PID_WINDOW), jnp.float32),
+               prev_error=jnp.zeros((batch_size,), jnp.float32))
 
 
 @struct.dataclass

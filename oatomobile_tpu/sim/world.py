@@ -354,8 +354,8 @@ def init_scene_batch(
       off_lane_prev=jnp.zeros((B,), bool),
       red_light_invasion=jnp.zeros((B,), jnp.int32),
       at_red_prev=jnp.zeros((B,), bool),
-      pid_lat=PIDState(integral=zeros_b, prev_error=zeros_b),
-      pid_lon=PIDState(integral=zeros_b, prev_error=zeros_b),
+      pid_lat=PIDState.zero_batch(B),
+      pid_lon=PIDState.zero_batch(B),
       rng=keys,
   )
 

@@ -22,7 +22,8 @@ BATCH = int(os.environ.get("RUN_BATCH", 512))
 # moderate traffic, dense traffic.
 MIX = json.loads(os.environ.get("RUN_MIX", "[[0, 64], [8, 128], [24, 64]]"))
 BRIDGE = json.loads(os.environ.get(
-    "RUN_BRIDGE", '{"use_brake": true, "curvature_slowdown": true}'))
+    "RUN_BRIDGE",
+    '{"use_brake": true, "curvature_slowdown": true, "speed_gain": 1.2}'))
 POLICIES = os.environ.get(
     "RUN_POLICIES", "autopilot,dim,rip_wcm,rip_ma").split(",")
 
