@@ -1,0 +1,113 @@
+"""Learned-policy bridge + window-PID semantics.
+
+These lock in the round-2 stabilisation findings (see
+baselines/learned/bridge.py and sim/dynamics.pid_update): the sliding
+window integral flushes after standstill, the learned brake mapping
+coasts on km/h-scale ripple, and degenerate standstill plans steer along
+the route instead of toward plan noise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oatomobile_tpu.baselines.learned import bridge
+from oatomobile_tpu.maps import load_town
+from oatomobile_tpu.sim import dynamics, init_scene_batch, make_params
+from oatomobile_tpu.sim.types import PID_WINDOW, PIDState
+
+DT = jnp.float32(0.05)
+
+
+def test_pid_window_flushes_after_error_drops():
+  """CARLA's deque(maxlen=30) semantics: a long saturated-error episode
+  must stop influencing the output within PID_WINDOW steps of the error
+  dropping — the round-1 accumulator latched for hundreds of steps."""
+  state = PIDState.zero()
+  err = jnp.float32(1.0)
+  for _ in range(200):  # way beyond the window: standstill with offset
+    out_sat, state = dynamics.pid_update(state, err, DT, k_p=1.95,
+                                         k_d=0.01, k_i=1.4)
+  # Integral contribution is bounded by the window, not by 200 steps.
+  assert float(out_sat) <= 1.95 + 1.4 * PID_WINDOW * 0.05 + 0.5
+  for _ in range(PID_WINDOW):
+    out, state = dynamics.pid_update(state, jnp.float32(0.0), DT,
+                                     k_p=1.95, k_d=0.01, k_i=1.4)
+  assert abs(float(out)) < 1e-4  # fully flushed
+
+
+def test_learned_brake_deadband_coasts_on_ripple():
+  """A sub-km/h tracking ripple must coast (no brake) under the learned
+  mapping, while a hard slow-down command still brakes."""
+  state = PIDState.zero()
+  throttle, brake, state = dynamics.longitudinal_control_with_brake(
+      state, jnp.float32(5.6), jnp.float32(5.35), DT,
+      brake_deadband=1.0, brake_slope=0.25)
+  assert float(brake) == 0.0
+  state = PIDState.zero()
+  for _ in range(10):
+    throttle, brake, state = dynamics.longitudinal_control_with_brake(
+        state, jnp.float32(5.6), jnp.float32(0.0), DT,
+        brake_deadband=1.0, brake_slope=0.25)
+  assert float(brake) > 0.5 and float(throttle) == 0.0
+
+
+def _scene_batch(B=2):
+  town = load_town("Town01")
+  params = make_params(town)
+  states = init_scene_batch(town, B, num_vehicles=0, seed=0)
+  return params, states
+
+
+def test_degenerate_plan_steers_along_route():
+  """A collapsed standstill plan must not command hard steering: the
+  bridge falls back to the first route waypoint >= 4 m ahead."""
+  params, states = _scene_batch()
+  B = 2
+  # Degenerate plan: every point ~0 with a slight BACKWARD-left bias (the
+  # measured v=0 failure shape) -> without the fallback the lateral error
+  # is ~pi and steer saturates.
+  plan = jnp.tile(jnp.asarray([[-0.0, 0.0], [-0.1, 0.1],
+                               [-0.2, 0.2], [-0.5, 0.4]]), (B, 1, 1))
+  # Straight-ahead route goals in ego frame.
+  goal = jnp.tile(jnp.stack([jnp.arange(1.0, 11.0),
+                             jnp.zeros(10)], axis=-1), (B, 1, 1))
+  actions, _ = bridge.plan_to_action(params, states, plan, goal=goal)
+  steer = np.asarray(actions[:, 1])
+  assert np.all(np.abs(steer) < 0.3), steer
+  # Without goals (no fallback) the same plan saturates the steer —
+  # guards that the fallback is actually doing the work.
+  actions_nofb, _ = bridge.plan_to_action(params, states, plan)
+  assert np.any(np.abs(np.asarray(actions_nofb[:, 1])) > 0.8)
+
+
+def test_healthy_plan_ignores_fallback():
+  """A normal cruise plan (>2 m reach) must use the plan setpoint even
+  when goals are provided — fallback is standstill-only."""
+  params, states = _scene_batch()
+  B = 2
+  plan = jnp.tile(jnp.asarray([[0.3, 0.0], [5.6, 0.5],
+                               [11.0, 1.0], [16.5, 1.5]]), (B, 1, 1))
+  goal_left = jnp.tile(jnp.stack([jnp.arange(1.0, 11.0),
+                                  jnp.arange(1.0, 11.0)], axis=-1),
+                       (B, 1, 1))  # 45-degree-left route
+  a_with, _ = bridge.plan_to_action(params, states, plan, goal=goal_left)
+  a_without, _ = bridge.plan_to_action(params, states, plan)
+  np.testing.assert_allclose(np.asarray(a_with), np.asarray(a_without),
+                             atol=1e-6)
+
+
+def test_speed_gain_scales_target():
+  params, states = _scene_batch()
+  B = 2
+  # Gentle plan (0.15 m/s) — the PID works in km/h, so anything faster
+  # saturates the throttle at both gains and hides the difference.
+  plan = jnp.tile(jnp.asarray([[0.05, 0.0], [0.2, 0.0],
+                               [0.35, 0.0], [2.1, 0.0]]), (B, 1, 1))
+  # Same state, higher gain -> more throttle (both from rest).
+  a1, _ = bridge.plan_to_action(params, states, plan, speed_gain=1.0,
+                                warmup_floor=0.0)
+  a2, _ = bridge.plan_to_action(params, states, plan, speed_gain=1.5,
+                                warmup_floor=0.0)
+  assert float(a2[0, 0]) >= float(a1[0, 0])
+  assert float(jnp.max(jnp.abs(a2 - a1))) > 0.0
