@@ -110,7 +110,25 @@ def npc_step(params: WorldParams, state: SceneState,
                                 1.0)
   target_speed = jnp.minimum(params.npc_target_speed * factor,
                              params.map["wp_speed_limit"][wp])
-  target_speed = target_speed * jnp.clip(1.0 - jnp.abs(err), 0.3, 1.0)
+  # Curvature slow-down with LOOKAHEAD: the max of the current heading
+  # error and the upcoming bend (heading change over the next ~3
+  # waypoints, first-successor chain).  Without the lookahead an NPC
+  # enters a hairpin at cruise, cannot shed speed mid-bend (proportional
+  # decel), understeers wide into the oncoming lane, and sideswipes
+  # whoever is rounding the bend the other way — measured as the cause of
+  # every remaining autopilot collision on the Hills switchback.  Mirrors
+  # the hero autopilot's upcoming-route-curvature brake (sim/autopilot.py).
+  nxt1 = params.map["wp_next"][wp, 0]
+  nxt2 = params.map["wp_next"][jnp.maximum(nxt1, 0), 0]
+  nxt3 = params.map["wp_next"][jnp.maximum(nxt2, 0), 0]
+  yaw_here = params.map["wp_yaw"][wp]
+  bend = jnp.zeros_like(yaw_here)
+  for nxt in (nxt1, nxt2, nxt3):
+    dy = params.map["wp_yaw"][jnp.maximum(nxt, 0)] - yaw_here
+    dy = jnp.abs(jnp.arctan2(jnp.sin(dy), jnp.cos(dy)))
+    bend = jnp.maximum(bend, jnp.where(nxt >= 0, dy, 0.0))
+  target_speed = target_speed * jnp.clip(
+      1.0 - jnp.maximum(jnp.abs(err), 0.7 * bend), 0.3, 1.0)
 
   # Car-following + intercept prediction: stop for any alive vehicle (or
   # the hero) that is in a lane-wide forward corridor NOW or will be in
