@@ -44,8 +44,75 @@ def _save_packed_arrays(output_dir: str, stacked) -> list:
         float(arr.min()) >= 0.0 and float(arr.max()) <= 1.0):
       arr = np.round(arr * 255.0).astype(np.uint8)
       quantized.append(key)
+    elif key in _QUANTIZABLE_MODALITIES and arr.dtype == np.uint8:
+      # Already quantised on device (`_device_pack_windows`).
+      quantized.append(key)
     np.save(os.path.join(output_dir, "{}.npy".format(key)), arr)
   return quantized
+
+
+def _device_pack_windows(collected, modalities, past_length, future_length,
+                         num_frame_skips):
+  """Windows + ego-frames + quantises a rollout ON DEVICE.
+
+  The naive pipeline fetches the raw ``[T, B, ...]`` sensor stacks to the
+  host and windows there — for a 16-episode x 500-step chunk that is
+  ~2.6 GB of float32 BEV alone over the host link, 26x more than the
+  training set actually keeps (window centers every ``num_frame_skips``
+  steps, images uint8).  Here the gather, the world->ego transform of
+  past/future trajectories, and the uint8 quantisation all run as one jit
+  on device, so only the final training-ready arrays cross the link.
+
+  Args:
+    collected: dict of device arrays ``[T, B, ...]`` from
+      ``BatchedEnv.rollout`` — must contain ``location``, ``rotation``
+      and ``collision`` plus ``modalities``.
+    modalities: keys to gather at window centers.
+
+  Returns:
+    dict of device arrays ``[C, B, ...]`` (C = number of window centers):
+    ``player_past``/``player_future`` ego-frame float32, ``location``/
+    ``rotation``, each modality (allowlisted images as uint8), and a
+    boolean ``valid`` mask (windows overlapping the first collision
+    frame are invalid — post-crash frames teach models to park).
+  """
+  import jax.numpy as jnp
+
+  loc = collected["location"]            # [T, B, 3]
+  rot = collected["rotation"]            # [T, B, 3]
+  T = loc.shape[0]
+  centers = np.arange(past_length, T - future_length, num_frame_skips)
+
+  collided = collected["collision"] > 0  # [T, B]
+  crash_t = jnp.where(jnp.any(collided, axis=0),
+                      jnp.argmax(collided, axis=0), T)        # [B]
+  valid = (centers[:, None] + future_length) < crash_t[None, :]  # [C, B]
+
+  # Window gathers with static index grids: [C, W, B, 3] -> [C, B, W, 3].
+  past_idx = centers[:, None] + np.arange(-past_length, 0)[None, :]
+  fut_idx = centers[:, None] + np.arange(1, future_length + 1)[None, :]
+  cur_loc = loc[centers].astype(jnp.float32)                  # [C, B, 3]
+  cur_rot = rot[centers].astype(jnp.float32)
+  past_w = jnp.transpose(loc[past_idx], (0, 2, 1, 3))
+  fut_w = jnp.transpose(loc[fut_idx], (0, 2, 1, 3))
+  player_past = tf_ops.world2local(
+      current_location=cur_loc, current_rotation=cur_rot,
+      world_locations=past_w.astype(jnp.float32))
+  player_future = tf_ops.world2local(
+      current_location=cur_loc, current_rotation=cur_rot,
+      world_locations=fut_w.astype(jnp.float32))
+
+  out = {"player_past": player_past, "player_future": player_future,
+         "location": cur_loc, "rotation": cur_rot,
+         "valid": valid}
+  for key in modalities:
+    value = collected[key][centers]                           # [C, B, ...]
+    if value.ndim == 2:
+      value = value[..., None]  # match host np.atleast_1d per-sample
+    if key in _QUANTIZABLE_MODALITIES and value.dtype == jnp.float32:
+      value = jnp.clip(jnp.round(value * 255.0), 0, 255).astype(jnp.uint8)
+    out[key] = value
+  return out
 
 
 def _prefetch_iterator(iterator, depth: int):
@@ -293,6 +360,7 @@ class CARLADataset(Dataset):
       noise: float = 0.0,
       seed: int = 0,
       chunk_episodes: int = 24,
+      device_pack: bool = True,
   ) -> int:
     """Device-to-training-set pipeline: batched autopilot rollouts are
     windowed (past/future ego-frame trajectories) *in memory* and written
@@ -300,6 +368,13 @@ class CARLADataset(Dataset):
 
     Equivalent to collect() + process() + pack() fused; for a 64-episode
     dataset this skips ~25k compressed-npz round trips on the host.
+
+    With ``device_pack`` (default) the windowing/ego-frame/quantisation
+    runs on device (`_device_pack_windows`) and only training-ready
+    arrays are fetched — ~26x less host-link transfer than fetching the
+    raw float32 sensor stacks, which dominates wall-clock when the
+    accelerator is remote.  ``device_pack=False`` keeps the host-numpy
+    path (float64 transforms; equivalence covered by tests).
 
     Returns the number of training samples written.
     """
@@ -329,9 +404,21 @@ class CARLADataset(Dataset):
               params, s, noise=noise))(states)
       _, collected, _ = env.rollout(num_steps, policy=policy,
                                     collect=sensors)
-      collected = {k: np.asarray(v) for k, v in collected.items()}
       done += n
 
+      if device_pack:
+        packed = _device_pack_windows(collected, modalities, past_length,
+                                      future_length, num_frame_skips)
+        packed = {k: np.asarray(v) for k, v in packed.items()}  # fetch
+        # Episode-major sample order, matching the host loop (for b: for i).
+        mask = packed.pop("valid").T.reshape(-1)                # [B*C]
+        for key, value in packed.items():
+          value = np.swapaxes(value, 0, 1)                      # [B, C, ...]
+          flat = value.reshape((-1,) + value.shape[2:])
+          buffers[key].append(flat[mask])
+        continue
+
+      collected = {k: np.asarray(v) for k, v in collected.items()}
       locations = collected["location"]      # [T, B, 3]
       rotations = collected["rotation"]      # [T, B, 3]
       T, B = locations.shape[:2]
@@ -365,9 +452,10 @@ class CARLADataset(Dataset):
             buffers[key].append(value)
 
     keys = sorted(buffers.keys())
-    stacked = {key: np.stack(buffers[key]) for key in keys}
+    stack = np.concatenate if device_pack else np.stack
+    stacked = {key: stack(buffers[key]) for key in keys}
     quantized = _save_packed_arrays(output_dir, stacked)
-    num_samples = len(buffers["player_future"])
+    num_samples = len(stacked["player_future"])
     with open(os.path.join(output_dir, "manifest.json"), "w") as fp:
       _json.dump({"num_samples": num_samples, "modalities": keys,
                   "quantized": quantized}, fp)

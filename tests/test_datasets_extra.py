@@ -86,6 +86,33 @@ def test_dim_train_logs_val_and_saves_best(packed_dataset, tmp_path):
   assert os.path.exists(os.path.join(out, "ckpts", "model-best.flax"))
 
 
+def test_device_pack_matches_host_pack(tmp_path):
+  # The on-device window/ego-frame/quantise path must reproduce the
+  # host-numpy path bit-for-bit on images and to float tolerance on
+  # trajectories (host transforms run in float64, device in float32).
+  kwargs = dict(num_episodes=2, num_steps=120, num_frame_skips=10,
+                seed=21)
+  dev = str(tmp_path / "dev")
+  host = str(tmp_path / "host")
+  n_dev = CARLADataset.collect_packed("Town02", dev, device_pack=True,
+                                      **kwargs)
+  n_host = CARLADataset.collect_packed("Town02", host, device_pack=False,
+                                       **kwargs)
+  assert n_dev == n_host > 0
+  for key in ("lidar", "player_past", "player_future", "location",
+              "velocity", "goal"):
+    a = np.load(os.path.join(dev, "{}.npy".format(key)))
+    b = np.load(os.path.join(host, "{}.npy".format(key)))
+    assert a.shape == b.shape, key
+    assert a.dtype == b.dtype, key
+    if a.dtype == np.uint8:
+      # Quantisation grids may differ by 1 count where x*255 lands on
+      # a rounding boundary in f32 vs f64.
+      assert np.abs(a.astype(int) - b.astype(int)).max() <= 1, key
+    else:
+      np.testing.assert_allclose(a, b, atol=1e-3, err_msg=key)
+
+
 def test_plot_datum_and_coverage(tmp_path):
   # Build a tiny per-sample dataset, then exercise the plotting utils.
   raw = str(tmp_path / "raw")
