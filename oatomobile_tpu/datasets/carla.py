@@ -53,7 +53,7 @@ def _save_packed_arrays(output_dir: str, stacked) -> list:
 
 def _device_pack_windows(collected, modalities, past_length, future_length,
                          num_frame_skips):
-  """Windows + ego-frames + quantises a rollout ON DEVICE.
+  """Windows + ego-frames + quantises a rollout ON DEVICE (one jit).
 
   The naive pipeline fetches the raw ``[T, B, ...]`` sensor stacks to the
   host and windows there — for a 16-episode x 500-step chunk that is
@@ -76,6 +76,20 @@ def _device_pack_windows(collected, modalities, past_length, future_length,
     boolean ``valid`` mask (windows overlapping the first collision
     frame are invalid — post-crash frames teach models to park).
   """
+  global _device_pack_jit
+  if _device_pack_jit is None:
+    import jax
+    _device_pack_jit = jax.jit(_device_pack_windows_impl,
+                               static_argnums=(1, 2, 3, 4))
+  return _device_pack_jit(collected, tuple(modalities), past_length,
+                          future_length, num_frame_skips)
+
+
+_device_pack_jit = None
+
+
+def _device_pack_windows_impl(collected, modalities, past_length,
+                              future_length, num_frame_skips):
   import jax.numpy as jnp
 
   loc = collected["location"]            # [T, B, 3]
