@@ -35,6 +35,32 @@ MODALITIES = (
 NOISE_STD = 1e-2  # target perturbation (train.py:57, 186-189)
 VELOCITY_DROPOUT = 0.25  # per-sample velocity-context dropout (see below)
 
+# Device-resident datasets larger than this stream from host instead
+# (leave HBM headroom for model/optimizer/activations).
+_DEVICE_DATA_BYTES_CAP = 6 * 1024**3
+
+
+def _load_resident(dataset_dir: str, enabled: bool):
+  """Returns (data, num_samples) if the packed dataset should live on
+  device (un-meshed run, under the size cap), else (None, 0).  Callers
+  must disable this under a dp mesh (resident arrays are single-device;
+  sharded batches must stream)."""
+  if not (enabled and CARLADataset.is_packed(dataset_dir)):
+    return None, 0
+  # Size check via memory-mapped headers (no load) before any upload.
+  import json
+  with open(os.path.join(dataset_dir, "manifest.json")) as fp:
+    manifest = json.load(fp)
+  nbytes = 0
+  for key in manifest["modalities"]:
+    if key in MODALITIES:
+      arr = np.load(os.path.join(dataset_dir, "{}.npy".format(key)),
+                    mmap_mode="r")
+      nbytes += int(arr.size) * arr.dtype.itemsize
+  if nbytes > _DEVICE_DATA_BYTES_CAP:
+    return None, 0
+  return CARLADataset.load_packed_to_device(dataset_dir, MODALITIES)
+
 
 def dropout_velocity(context, rng, rate: float):
   """Zeroes the velocity context for a random ``rate`` fraction of samples.
@@ -103,6 +129,7 @@ def train(
     val_fraction: float = 0.05,
     tensorboard: bool = False,
     velocity_dropout: float = VELOCITY_DROPOUT,
+    device_data: bool = True,
 ) -> dp.TrainState:
   """Runs training; returns the final TrainState.
 
@@ -116,6 +143,11 @@ def train(
       Val NLL is evaluated every epoch and the best-val params are saved
       as ``model-best`` (reference dim/train.py:146-165,215-242 keeps a
       separate val DataLoader; best-checkpoint selection is new).
+    device_data: keep the whole packed dataset resident on device and
+      assemble batches with an in-graph gather — removes the per-step
+      host->device batch upload (the wall-clock bottleneck on remote
+      accelerators).  Applies on single-device packed runs under the
+      `_DEVICE_DATA_BYTES_CAP` size cap; otherwise streams as before.
   """
   os.makedirs(output_dir, exist_ok=True)
   log_dir = os.path.join(output_dir, "logs")
@@ -158,15 +190,35 @@ def train(
   state = dp.TrainState.create(params, tx, jax.random.fold_in(rng, 1))
 
   have_val = CARLADataset.is_packed(dataset_dir) and val_fraction > 0
+  resident, resident_n = _load_resident(dataset_dir,
+                                        device_data and mesh is None)
+
+  def epoch_loader(epoch):
+    split = "train" if have_val else None
+    if resident is not None:
+      idx = CARLADataset.packed_split_indices(resident_n, split,
+                                              val_fraction=val_fraction)
+      return CARLADataset.iter_device_batches(resident, idx, batch_size,
+                                              seed=seed + epoch)
+    return CARLADataset.make_loader(
+        dataset_dir, MODALITIES, batch_size=batch_size, seed=seed + epoch,
+        split=split, val_fraction=val_fraction)
+
+  def val_loader():
+    if resident is not None:
+      idx = CARLADataset.packed_split_indices(resident_n, "val",
+                                              val_fraction=val_fraction)
+      return CARLADataset.iter_device_batches(resident, idx, batch_size,
+                                              shuffle=False,
+                                              drop_remainder=False)
+    return CARLADataset.make_loader(dataset_dir, MODALITIES,
+                                    batch_size=batch_size, split="val",
+                                    val_fraction=val_fraction)
 
   def val_nll(params):
     if not have_val:
       return None
-    losses = [
-        eval_loss(params, batch) for batch in CARLADataset.make_loader(
-            dataset_dir, MODALITIES, batch_size=batch_size, split="val",
-            val_fraction=val_fraction)
-    ]
+    losses = [eval_loss(params, batch) for batch in val_loader()]
     return float(jnp.mean(jnp.stack(losses))) if losses else None
 
   state_ckpt = Checkpointer(os.path.join(output_dir, "state"),
@@ -188,9 +240,7 @@ def train(
   for epoch in range(start_epoch, num_epochs):
     losses = []
     t0 = time.time()
-    loader = CARLADataset.make_loader(
-        dataset_dir, MODALITIES, batch_size=batch_size, seed=seed + epoch,
-        split="train" if have_val else None, val_fraction=val_fraction)
+    loader = epoch_loader(epoch)
     for i, batch in enumerate(loader):
       if i >= max_steps_per_epoch:
         break

@@ -21,6 +21,7 @@ import optax
 from oatomobile_tpu.baselines.learned.dim.train import (MODALITIES,
                                                         NOISE_STD,
                                                         VELOCITY_DROPOUT,
+                                                        _load_resident,
                                                         dropout_velocity,
                                                         make_context)
 from oatomobile_tpu.datasets.carla import CARLADataset
@@ -48,9 +49,11 @@ def train(
     max_steps_per_epoch: int = 10**9,
     val_fraction: float = 0.05,
     velocity_dropout: float = VELOCITY_DROPOUT,
+    device_data: bool = True,
 ):
   """Trains the stacked ensemble; per-epoch held-out val NLL (mean over
-  members) selects the ``ensemble-best`` checkpoint."""
+  members) selects the ``ensemble-best`` checkpoint.  ``device_data``
+  keeps the packed dataset resident on device (see dim/train.py)."""
   os.makedirs(output_dir, exist_ok=True)
   loggers = [TerminalLogger(label="rip"),
              JSONLLogger(os.path.join(output_dir, "logs"), "rip_train")]
@@ -95,15 +98,37 @@ def train(
   eval_loss = jax.jit(
       lambda params, batch: loss_fn(params, batch, jax.random.PRNGKey(0)))
   have_val = CARLADataset.is_packed(dataset_dir) and val_fraction > 0
+  resident, resident_n = _load_resident(dataset_dir, device_data)
+
+  def epoch_loader(epoch):
+    split = "train" if have_val else None
+    if resident is not None:
+      idx = CARLADataset.packed_split_indices(resident_n, split,
+                                              val_fraction=val_fraction)
+      return CARLADataset.iter_device_batches(resident, idx, batch_size,
+                                              seed=seed + epoch)
+    return CARLADataset.make_loader(
+        dataset_dir, MODALITIES, batch_size=batch_size, seed=seed + epoch,
+        split=split, val_fraction=val_fraction)
+
+  def val_loader():
+    if resident is not None:
+      idx = CARLADataset.packed_split_indices(resident_n, "val",
+                                              val_fraction=val_fraction)
+      return CARLADataset.iter_device_batches(resident, idx, batch_size,
+                                              shuffle=False,
+                                              drop_remainder=False)
+    return CARLADataset.make_loader(dataset_dir, MODALITIES,
+                                    batch_size=batch_size, split="val",
+                                    val_fraction=val_fraction)
+
   best_val = float("inf")
   rng = jax.random.PRNGKey(seed + 999)
   step = 0
   for epoch in range(num_epochs):
     losses = []
     t0 = time.time()
-    loader = CARLADataset.make_loader(
-        dataset_dir, MODALITIES, batch_size=batch_size, seed=seed + epoch,
-        split="train" if have_val else None, val_fraction=val_fraction)
+    loader = epoch_loader(epoch)
     for i, batch in enumerate(loader):
       if i >= max_steps_per_epoch:
         break
@@ -115,11 +140,7 @@ def train(
     record = {"epoch": epoch, "loss": mean_loss, "models": num_models,
               "sec": round(time.time() - t0, 2), "steps": step}
     if have_val:
-      val_losses = [
-          eval_loss(stacked, batch) for batch in CARLADataset.make_loader(
-              dataset_dir, MODALITIES, batch_size=batch_size, split="val",
-              val_fraction=val_fraction)
-      ]
+      val_losses = [eval_loss(stacked, batch) for batch in val_loader()]
       if val_losses:
         val = float(jnp.mean(jnp.stack(val_losses)))
         record["val_loss"] = val

@@ -86,6 +86,7 @@ def _device_pack_windows(collected, modalities, past_length, future_length,
 
 
 _device_pack_jit = None
+_device_gather_jit = None
 
 
 def _device_pack_windows_impl(collected, modalities, past_length,
@@ -678,13 +679,9 @@ class CARLADataset(Dataset):
         for key in manifest["modalities"]
     }
     n = manifest["num_samples"]
-    indices = np.arange(n)
-    if split is not None:
-      perm = np.random.RandomState(split_seed).permutation(n)
-      num_val = max(1, int(round(n * val_fraction)))
-      indices = (np.sort(perm[:-num_val]) if split == "train"
-                 else np.sort(perm[-num_val:]))
-      n = len(indices)
+    indices = cls.packed_split_indices(n, split, val_fraction=val_fraction,
+                                       split_seed=split_seed)
+    n = len(indices)
     order = indices
     if shuffle:
       order = order.copy()
@@ -699,6 +696,73 @@ class CARLADataset(Dataset):
           value = value.astype(np.float32) / 255.0
         batch[key] = value
       yield batch
+
+  @staticmethod
+  def packed_split_indices(n: int, split: Optional[str],
+                           val_fraction: float = 0.05,
+                           split_seed: int = 1234) -> np.ndarray:
+    """Deterministic train/val index split of a packed dataset: the last
+    ``val_fraction`` of a fixed-``split_seed`` permutation is val.  Every
+    consumer (streaming loader, device-resident loader) derives its
+    indices here, so the splits always agree."""
+    if split is None:
+      return np.arange(n)
+    perm = np.random.RandomState(split_seed).permutation(n)
+    num_val = max(1, int(round(n * val_fraction)))
+    return (np.sort(perm[:-num_val]) if split == "train"
+            else np.sort(perm[-num_val:]))
+
+  @classmethod
+  def load_packed_to_device(cls, packed_dir: str,
+                            modalities: Optional[Sequence[str]] = None):
+    """Uploads a packed dataset to the accelerator ONCE.
+
+    Streaming loaders re-upload every batch every epoch — for a 15k-sample
+    BEV dataset that is ~1.2 GB/epoch over the host link, 100x the size
+    of the dataset itself across a long run.  The whole pack (uint8
+    images stay uint8; consumers dequantise in-graph) usually fits in a
+    fraction of HBM, so train-time batch assembly can be a pure device
+    gather (`iter_device_batches`) with zero steady-state host traffic.
+
+    Returns (dict of device arrays [N, ...], num_samples).
+    """
+    import jax
+    import json as _json
+    with open(os.path.join(packed_dir, "manifest.json")) as fp:
+      manifest = _json.load(fp)
+    keys = manifest["modalities"]
+    if modalities is not None:
+      keep = set(modalities)
+      keys = [k for k in keys if k in keep]
+    data = {
+        key: jax.device_put(
+            np.load(os.path.join(packed_dir, "{}.npy".format(key))))
+        for key in keys
+    }
+    return data, manifest["num_samples"]
+
+  @classmethod
+  def iter_device_batches(cls, data, indices: np.ndarray, batch_size: int,
+                          *, shuffle: bool = True, seed: int = 0,
+                          drop_remainder: bool = True):
+    """Yields batches gathered ON DEVICE from resident arrays
+    (`load_packed_to_device`); only the [batch] index vector crosses the
+    host link per step."""
+    global _device_gather_jit
+    if _device_gather_jit is None:
+      import jax
+      _device_gather_jit = jax.jit(
+          lambda data, idx: {k: v[idx] for k, v in data.items()})
+    import jax.numpy as jnp
+    order = np.asarray(indices)
+    if shuffle:
+      order = order.copy()
+      np.random.RandomState(seed).shuffle(order)
+    n = len(order)
+    stop = n - (n % batch_size) if drop_remainder else n
+    for start in range(0, stop, batch_size):
+      idx = np.sort(order[start:start + batch_size])
+      yield _device_gather_jit(data, jnp.asarray(idx))
 
   @staticmethod
   def is_packed(path: str) -> bool:

@@ -113,6 +113,24 @@ def test_device_pack_matches_host_pack(tmp_path):
       np.testing.assert_allclose(a, b, atol=1e-3, err_msg=key)
 
 
+def test_device_resident_training_matches_streaming(packed_dataset,
+                                                    tmp_path):
+  # Resident and streaming loaders draw identical batch orders from
+  # `packed_split_indices`, so one epoch must produce the same losses.
+  import json
+  from oatomobile_tpu.baselines.learned.dim.train import train
+
+  records = {}
+  for name, flag in (("dev", True), ("host", False)):
+    out = str(tmp_path / name)
+    train(packed_dataset, out, batch_size=2, num_epochs=1, plot_every=0,
+          use_mesh=False, device_data=flag)
+    lines = open(os.path.join(out, "logs", "dim_train.jsonl")).readlines()
+    records[name] = json.loads(lines[0])
+  assert abs(records["dev"]["loss"] - records["host"]["loss"]) < 1e-4
+  assert abs(records["dev"]["val_loss"] - records["host"]["val_loss"]) < 1e-4
+
+
 def test_plot_datum_and_coverage(tmp_path):
   # Build a tiny per-sample dataset, then exercise the plotting utils.
   raw = str(tmp_path / "raw")
