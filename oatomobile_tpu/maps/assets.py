@@ -108,6 +108,25 @@ class TownMap:
         [np.clip(idx[..., 0], 0, h - 1),
          np.clip(idx[..., 1], 0, w - 1)], axis=-1)
 
+  def wp_bend(self) -> np.ndarray:
+    """[W] f32: max |heading change| over the next-3 first-successor
+    chain of each waypoint.  The chain is static per map, so the NPC
+    curvature-lookahead brake (sim/traffic.py) reads this with ONE
+    gather instead of walking wp_next/wp_yaw seven times per vehicle
+    per step."""
+    yaw_here = self.wp_yaw.astype(np.float32)
+    bend = np.zeros_like(yaw_here)
+    nxt = self.wp_next[:, 0].astype(np.int64)
+    cur = nxt
+    for _ in range(3):
+      safe = np.maximum(cur, 0)
+      dy = self.wp_yaw[safe].astype(np.float32) - yaw_here
+      dy = np.abs(np.arctan2(np.sin(dy), np.cos(dy),
+                             dtype=np.float32).astype(np.float32))
+      bend = np.maximum(bend, np.where(cur >= 0, dy, 0.0))
+      cur = self.wp_next[safe, 0].astype(np.int64)
+    return bend.astype(np.float32)
+
   def device_arrays(self) -> dict:
     """Returns (and caches) the jnp pytree of map arrays used in-graph."""
     if self._device is None:
@@ -115,6 +134,7 @@ class TownMap:
       self._device = dict(
           wp_xy=jnp.asarray(self.wp_xy, dtype=jnp.float32),
           wp_yaw=jnp.asarray(self.wp_yaw, dtype=jnp.float32),
+          wp_bend=jnp.asarray(self.wp_bend(), dtype=jnp.float32),
           wp_next=jnp.asarray(self.wp_next, dtype=jnp.int32),
           wp_num_next=jnp.asarray(self.wp_num_next, dtype=jnp.int32),
           wp_road_id=jnp.asarray(self.wp_road_id, dtype=jnp.int32),

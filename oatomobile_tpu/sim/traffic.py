@@ -118,15 +118,9 @@ def npc_step(params: WorldParams, state: SceneState,
   # whoever is rounding the bend the other way — measured as the cause of
   # every remaining autopilot collision on the Hills switchback.  Mirrors
   # the hero autopilot's upcoming-route-curvature brake (sim/autopilot.py).
-  nxt1 = params.map["wp_next"][wp, 0]
-  nxt2 = params.map["wp_next"][jnp.maximum(nxt1, 0), 0]
-  nxt3 = params.map["wp_next"][jnp.maximum(nxt2, 0), 0]
-  yaw_here = params.map["wp_yaw"][wp]
-  bend = jnp.zeros_like(yaw_here)
-  for nxt in (nxt1, nxt2, nxt3):
-    dy = params.map["wp_yaw"][jnp.maximum(nxt, 0)] - yaw_here
-    dy = jnp.abs(jnp.arctan2(jnp.sin(dy), jnp.cos(dy)))
-    bend = jnp.maximum(bend, jnp.where(nxt >= 0, dy, 0.0))
+  # The chain is static per map, so it is precomputed per waypoint
+  # (maps/assets.py wp_bend): one gather replaces seven.
+  bend = params.map["wp_bend"][wp]
   target_speed = target_speed * jnp.clip(
       1.0 - jnp.maximum(jnp.abs(err), 0.7 * bend), 0.3, 1.0)
 
