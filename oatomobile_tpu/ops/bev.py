@@ -143,11 +143,15 @@ def _boxes_occupancy(local_centers_uv, yaw_rel, half_lw, alive) -> jnp.ndarray:
   c = jnp.asarray(_pixel_centers(), dtype=jnp.float32)
   px = c[:, None, None]   # [200, 1, 1] forward
   py = c[None, :, None]   # [1, 200, 1] lateral
-  dx = px - local_centers_uv[None, None, :, 0]
-  dy = py - local_centers_uv[None, None, :, 1]
   cos_r, sin_r = jnp.cos(yaw_rel), jnp.sin(yaw_rel)
-  u = cos_r * dx + sin_r * dy
-  v = -sin_r * dx + cos_r * dy
+  # Half-plane form (centers folded into per-box constants — see
+  # rects_occupancy): two FMA chains per pixel-box test.
+  bx = local_centers_uv[:, 0]
+  by = local_centers_uv[:, 1]
+  cu = cos_r * bx + sin_r * by
+  cv = -sin_r * bx + cos_r * by
+  u = cos_r * px + sin_r * py - cu
+  v = cos_r * py - sin_r * px - cv
   inside = ((jnp.abs(u) <= half_lw[None, None, :, 0]) &
             (jnp.abs(v) <= half_lw[None, None, :, 1]) & alive[None, None, :])
   return jnp.any(inside, axis=-1)
@@ -197,11 +201,20 @@ def rects_occupancy(grid_world: jnp.ndarray, rects: jnp.ndarray,
                     inflate: float = 0.0) -> jnp.ndarray:
   """[H, W] bool: grid points inside any oriented rect (elementwise — no
   gathers, TPU-friendly).  ``inflate`` grows every rect's half-extents
-  (e.g. by the sidewalk margin)."""
-  dx = grid_world[..., 0, None] - rects[None, None, :, 0]
-  dy = grid_world[..., 1, None] - rects[None, None, :, 1]
-  u = rects[None, None, :, 4] * dx + rects[None, None, :, 5] * dy
-  v = -rects[None, None, :, 5] * dx + rects[None, None, :, 4] * dy
+  (e.g. by the sidewalk margin).
+
+  The test is written in half-plane form — ``u = cr*x + sr*y - cu`` with
+  the center folded into a per-rect constant — so the per-pixel work is
+  two FMA chains + two range checks (the dominant VPU cost of the BEV
+  splat at 40k pixels x ~40 rects x 1024 scenes per step)."""
+  cr = rects[None, None, :, 4]
+  sr = rects[None, None, :, 5]
+  cu = cr * rects[None, None, :, 0] + sr * rects[None, None, :, 1]
+  cv = -sr * rects[None, None, :, 0] + cr * rects[None, None, :, 1]
+  x = grid_world[..., 0, None]
+  y = grid_world[..., 1, None]
+  u = cr * x + sr * y - cu
+  v = cr * y - sr * x - cv
   inside = ((jnp.abs(u) <= rects[None, None, :, 2] + inflate) &
             (jnp.abs(v) <= rects[None, None, :, 3] + inflate))
   return jnp.any(inside, axis=-1)

@@ -83,10 +83,12 @@ def _kernel(hero_ref, walls_ref, roads_ref, boxes_ref, counts_ref,
         hw = ref[0, k, 3]
         cr = ref[0, k, 4]
         sr = ref[0, k, 5]
-        dx = wx - cx
-        dy = wy - cy
-        u = cr * dx + sr * dy
-        v = -sr * dx + cr * dy
+        # Half-plane form, matching ops/bev.rects_occupancy bit-for-bit
+        # (same association: center folded into scalar constants).
+        cu = cr * cx + sr * cy
+        cv = -sr * cx + cr * cy
+        u = cr * wx + sr * wy - cu
+        v = cr * wy - sr * wx - cv
         inside = (jnp.abs(u) <= hl) & (jnp.abs(v) <= hw)
         out_ref[...] = jnp.maximum(out_ref[...], inside.astype(jnp.float32))
 
