@@ -657,8 +657,13 @@ class CARLADataset(Dataset):
       split: Optional[str] = None,
       val_fraction: float = 0.05,
       split_seed: int = 1234,
+      mode: bool = False,
   ) -> Generator[Mapping[str, np.ndarray], None, None]:
     """Yields batches from a packed dataset via memory-mapped reads.
+
+    ``mode``: derive the {FORWARD, STOP, LEFT, RIGHT} command label from
+    ``player_future`` per batch (vectorised twin of ``load_datum``'s
+    rule, reference quirk included — see its docstring).
 
     Quantised (uint8) image modalities are yielded as uint8 by default —
     4x less host->device transfer; consumers divide by 255 *inside* jit
@@ -695,6 +700,14 @@ class CARLADataset(Dataset):
         if key in quantized and dequantize:
           value = value.astype(np.float32) / 255.0
         batch[key] = value
+      if mode and "player_future" in batch:
+        end = batch["player_future"][:, -1, :2]
+        norm = np.linalg.norm(end, axis=-1)
+        theta = np.degrees(np.arccos(end[:, 0] / (norm + 1e-3)))
+        m = np.where(norm < 3, 1,
+                     np.where(theta > 15, 2,
+                              np.where(theta <= -15, 3, 0)))
+        batch["mode"] = m[:, None].astype(np.float32)
       yield batch
 
   @staticmethod
@@ -821,6 +834,7 @@ class CARLADataset(Dataset):
     if cls.is_packed(dataset_dir):
       it = cls.as_jax_packed(
           dataset_dir, batch_size=batch_size, seed=seed, split=split,
+          mode=mode,
           val_fraction=val_fraction,
           shuffle=(split != "val"),
           drop_remainder=(split != "val"))
