@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from oatomobile_tpu.baselines.learned.dim.train import (VELOCITY_DROPOUT,
+                                                        _load_resident,
                                                         dropout_velocity)
 from oatomobile_tpu.datasets.carla import CARLADataset
 from oatomobile_tpu.models.cil import BehaviouralModel
@@ -33,12 +34,28 @@ MODALITIES = (
 )
 
 
+def mode_labels_jnp(player_future: jnp.ndarray) -> jnp.ndarray:
+  """In-graph signed command labels [B, 1] from raw future trajectories
+  [B, T, >=2] — the jnp twin of `CARLADataset.derive_mode_labels`
+  (signed rule), identical to the eval policy's `mode_from_goal_jnp`
+  geometry so train- and eval-time conditioning agree."""
+  end = player_future[:, -1, :2]
+  norm = jnp.linalg.norm(end, axis=-1)
+  theta = jnp.degrees(jnp.arctan2(end[:, 1], end[:, 0]))
+  m = jnp.where(theta > 15.0, 3.0, jnp.where(theta < -15.0, 2.0, 0.0))
+  return jnp.where(norm < 3.0, 1.0, m)[:, None]
+
+
 def make_context(model: BehaviouralModel, batch):
   arrays = {k: jnp.asarray(v) for k, v in batch.items()}
   arrays = {
       k: v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v
       for k, v in arrays.items()
   }
+  if "mode" not in arrays and "player_future" in arrays:
+    # Device-resident batches carry no host-derived labels; compute them
+    # in-graph (before transform, so its STOP-removal still applies).
+    arrays["mode"] = mode_labels_jnp(arrays["player_future"])
   sample = model.transform(arrays)
   context = {
       "visual_features": sample["visual_features"],
@@ -67,6 +84,7 @@ def train(
     max_steps_per_epoch: int = 10**9,
     val_fraction: float = 0.05,
     velocity_dropout: float = VELOCITY_DROPOUT,
+    device_data: bool = True,
 ) -> dp.TrainState:
   """Runs L1 behavioural-cloning training.
 
@@ -106,14 +124,37 @@ def train(
   checkpointer = Checkpointer(os.path.join(output_dir, "ckpts"))
   have_val = CARLADataset.is_packed(dataset_dir) and val_fraction > 0
   best_val = float("inf")
+  # Device-resident pack: batches become pure device gathers (mode labels
+  # derive in-graph in make_context), mirroring dim/train.py.
+  resident, resident_n = _load_resident(dataset_dir,
+                                        device_data and mesh is None)
+
+  def epoch_loader(epoch):
+    split = "train" if have_val else None
+    if resident is not None:
+      idx = CARLADataset.packed_split_indices(resident_n, split,
+                                              val_fraction=val_fraction)
+      return CARLADataset.iter_device_batches(resident, idx, batch_size,
+                                              seed=seed + epoch)
+    return CARLADataset.make_loader(
+        dataset_dir, MODALITIES, batch_size=batch_size, mode=True,
+        seed=seed + epoch, split=split, val_fraction=val_fraction)
+
+  def val_loader():
+    if resident is not None:
+      idx = CARLADataset.packed_split_indices(resident_n, "val",
+                                              val_fraction=val_fraction)
+      return CARLADataset.iter_device_batches(resident, idx, batch_size,
+                                              shuffle=False,
+                                              drop_remainder=False)
+    return CARLADataset.make_loader(dataset_dir, MODALITIES,
+                                    batch_size=batch_size, mode=True,
+                                    split="val", val_fraction=val_fraction)
 
   for epoch in range(num_epochs):
     losses = []
     t0 = time.time()
-    loader = CARLADataset.make_loader(
-        dataset_dir, MODALITIES, batch_size=batch_size, mode=True,
-        seed=seed + epoch, split="train" if have_val else None,
-        val_fraction=val_fraction)
+    loader = epoch_loader(epoch)
     for i, batch in enumerate(loader):
       if i >= max_steps_per_epoch:
         break
@@ -127,12 +168,8 @@ def train(
         "steps": int(state.step),
     }
     if have_val:
-      val_losses = [
-          eval_loss(state.params, batch) for batch in
-          CARLADataset.make_loader(dataset_dir, MODALITIES,
-                                   batch_size=batch_size, mode=True,
-                                   split="val", val_fraction=val_fraction)
-      ]
+      val_losses = [eval_loss(state.params, batch)
+                    for batch in val_loader()]
       if val_losses:
         val = float(jnp.mean(jnp.stack(val_losses)))
         record["val_loss"] = val

@@ -13,6 +13,7 @@ CARNOVEL: 27 tasks x 1500 steps -> 3 device calls (Towns 03/04/05).
 
 import json
 import os
+import re
 from typing import Callable, Dict, Mapping, Optional
 
 import jax
@@ -73,12 +74,60 @@ def _episode_metrics_rollout(params, states, policy, num_steps: int,
   return final, metrics
 
 
+def task_family(task_id: str) -> str:
+  """'AbnormalTurns5-v0' -> 'AbnormalTurns'; 'Town01_Turn22-v0' ->
+  'Town01_Turn' (the paper's per-family reporting unit,
+  arXiv:2006.14911 Table 1)."""
+  return re.sub(r"\d+-v\d+$", "", task_id)
+
+
+def _binomial_ci95(p: float, n: int) -> float:
+  """Normal-approximation 95% half-width for a rate over n episodes."""
+  if n <= 0:
+    return 0.0
+  return float(1.96 * np.sqrt(max(p * (1.0 - p), 0.0) / n))
+
+
+def summarize(results: Dict[str, Dict[str, float]]) -> Dict:
+  """Aggregates per-episode results: overall rates with 95% CIs and a
+  per-family table decomposing failures into collision vs timeout."""
+  def rows(items):
+    succ = [bool(r["success"]) for r in items]
+    coll = [r["collisions"] > 0 for r in items]
+    tout = [not s and not c for s, c in zip(succ, coll)]
+    n = len(items)
+    p = float(np.mean(succ)) if n else 0.0
+    return {
+        "episodes": n,
+        "success_rate": p,
+        "success_ci95": _binomial_ci95(p, n),
+        "collision_rate": float(np.mean(coll)) if n else 0.0,
+        "timeout_rate": float(np.mean(tout)) if n else 0.0,
+        "mean_distance": float(np.mean([r["distance"] for r in items]))
+                         if n else 0.0,
+    }
+
+  episodes = []
+  families: Dict[str, list] = {}
+  for task_id, row in results.items():
+    eps = row.get("episodes", [row])
+    episodes.extend(eps)
+    families.setdefault(task_family(task_id), []).extend(eps)
+  summary = rows(episodes)
+  summary["num_tasks"] = len(results)
+  summary["per_family"] = {f: rows(items)
+                           for f, items in sorted(families.items())}
+  return summary
+
+
 def evaluate_batched(
     tasks: Mapping[str, Mapping],
     policy_fn: Optional[Callable] = None,
     log_dir: Optional[str] = None,
     horizon: int = HORIZON,
     noise: float = 0.0,
+    seed: int = 0,
+    num_episodes: int = 1,
 ) -> Dict[str, Dict[str, float]]:
   """Evaluates every task of a benchmark in town-grouped batches.
 
@@ -89,33 +138,47 @@ def evaluate_batched(
       policy; defaults to the in-graph autopilot.
     log_dir: when given, writes per-task metrics.csv like
       Benchmark.evaluate plus a summary.json.
+    seed: base seed for scene initialisation (NPC placement/speeds,
+      light phases, expert noise).
+    num_episodes: episodes per task, evaluated as extra replicas inside
+      the SAME batched rollout (27 tasks x 10 episodes is still one
+      device call per town) — each replica draws independent traffic.
+      Round 2's single-pinned-seed evaluation quantised success at
+      1/27 per task; with replicas the summary carries 95% CIs.
 
   Returns:
-    task_id -> metric dict.
+    task_id -> metric dict; with num_episodes > 1 each row additionally
+    carries an ``episodes`` list and the scalar fields are per-task
+    means (success = mean success rate).
   """
   by_town: Dict[str, list] = {}
   for task_id, config in tasks.items():
     by_town.setdefault(config["town"], []).append((task_id, config))
 
+  E = int(num_episodes)
   results: Dict[str, Dict[str, float]] = {}
   for town_name, group in sorted(by_town.items()):
     town = load_town(town_name)
     params = make_params(town)
     ids = [t for t, _ in group]
     configs = [c for _, c in group]
-    # Actor arrays pad to the group max but alive-mask down per task: each
-    # task is evaluated with its OWN configured traffic density.
+    T = len(group)
+    # Episode replicas tile the task axis: scene e*T + i is episode e of
+    # task i.  Actor arrays pad to the group max but alive-mask down per
+    # task: each task keeps its OWN configured traffic density.
     states = init_scene_batch(
         town,
-        len(group),
-        num_vehicles=np.asarray(
-            [int(c.get("num_vehicles", 0)) for c in configs]),
-        num_pedestrians=np.asarray(
-            [int(c.get("num_pedestrians", 0)) for c in configs]),
+        T * E,
+        num_vehicles=np.tile(np.asarray(
+            [int(c.get("num_vehicles", 0)) for c in configs]), E),
+        num_pedestrians=np.tile(np.asarray(
+            [int(c.get("num_pedestrians", 0)) for c in configs]), E),
         route_capacity=2048,
-        seed=0,
-        spawn_points=np.asarray([c["origin"] for c in configs]),
-        destinations=np.asarray([c["destination"] for c in configs]),
+        seed=seed,
+        spawn_points=np.tile(np.asarray(
+            [c["origin"] for c in configs]), E),
+        destinations=np.tile(np.asarray(
+            [c["destination"] for c in configs]), E),
     )
     if policy_fn is None:
       def policy(params, state_batch):
@@ -129,33 +192,42 @@ def evaluate_batched(
     _, metrics = run(params, states)
     metrics = jax.device_get(metrics)
     for i, task_id in enumerate(ids):
-      results[task_id] = {
-          "steps": int(metrics["steps"][i]),
-          "collisions": int(metrics["collisions"][i]),
-          "lane_invasions": int(metrics["lane_invasions"][i]),
-          "distance": float(metrics["distance"][i]),
-          "returns": float(metrics["returns"][i]),
-          "success": bool(metrics["success"][i]),
-      }
+      eps = []
+      for e in range(E):
+        j = e * T + i
+        eps.append({
+            "steps": int(metrics["steps"][j]),
+            "collisions": int(metrics["collisions"][j]),
+            "lane_invasions": int(metrics["lane_invasions"][j]),
+            "distance": float(metrics["distance"][j]),
+            "returns": float(metrics["returns"][j]),
+            "success": bool(metrics["success"][j]),
+        })
+      if E == 1:
+        row = dict(eps[0])
+      else:
+        row = {
+            "steps": float(np.mean([x["steps"] for x in eps])),
+            "collisions": float(np.mean([x["collisions"] for x in eps])),
+            "lane_invasions": float(np.mean([x["lane_invasions"]
+                                             for x in eps])),
+            "distance": float(np.mean([x["distance"] for x in eps])),
+            "returns": float(np.mean([x["returns"] for x in eps])),
+            "success": float(np.mean([x["success"] for x in eps])),
+            "episodes": eps,
+        }
+      results[task_id] = row
 
   if log_dir is not None:
     os.makedirs(log_dir, exist_ok=True)
     for task_id, row in results.items():
       task_dir = os.path.join(log_dir, task_id)
       os.makedirs(task_dir, exist_ok=True)
-      keys = list(row.keys())
+      keys = [k for k in row if k != "episodes"]
       with open(os.path.join(task_dir, "metrics.csv"), "w") as fp:
         fp.write(",".join(keys) + "\n")
         fp.write(",".join(str(row[k]) for k in keys) + "\n")
-    summary = {
-        "num_tasks": len(results),
-        "success_rate": float(np.mean([r["success"] for r in
-                                       results.values()])),
-        "collision_rate": float(np.mean([r["collisions"] > 0 for r in
-                                         results.values()])),
-        "mean_distance": float(np.mean([r["distance"] for r in
-                                        results.values()])),
-    }
+    summary = summarize(results)
     with open(os.path.join(log_dir, "summary.json"), "w") as fp:
       json.dump({"summary": summary, "tasks": results}, fp, indent=2)
   return results

@@ -33,6 +33,35 @@ _QUANTIZABLE_MODALITIES = frozenset({
 })
 
 
+def derive_mode_labels(player_future: np.ndarray,
+                       signed: bool = True) -> np.ndarray:
+  """Vectorised {0 FORWARD, 1 STOP, 2 LEFT, 3 RIGHT} command labels from
+  future-trajectory endpoints ``[N, T, >=2]``.
+
+  ``signed`` (default) resolves the reference's label bug: its dataset
+  rule (reference datasets/carla.py:150-157) takes
+  ``theta = degrees(arccos(x/r)) >= 0`` so the RIGHT branch
+  (``theta <= -15``) is unreachable and BOTH turn directions collapse
+  into LEFT — while its eval-time CILAgent (cil/agent.py:67-74) labels
+  with a different, also-buggy rule.  Trained on the quirky labels and
+  evaluated with signed ones, the model receives command values it never
+  saw (measured round 2: CIL collided at the first bend of every CARNOVEL
+  task).  The signed rule used here matches
+  ``baselines.learned.cil.policy.mode_from_goal_jnp`` exactly, making
+  train-time and eval-time conditioning consistent (+y is the right-hand
+  side).  Pass ``signed=False`` for the byte-exact reference quirk.
+  """
+  end = np.asarray(player_future)[:, -1, :2]
+  norm = np.linalg.norm(end, axis=-1)
+  if signed:
+    theta = np.degrees(np.arctan2(end[:, 1], end[:, 0]))
+    m = np.where(theta > 15, 3, np.where(theta < -15, 2, 0))
+  else:
+    theta = np.degrees(np.arccos(end[:, 0] / (norm + 1e-3)))
+    m = np.where(theta > 15, 2, np.where(theta <= -15, 3, 0))
+  return np.where(norm < 3, 1, m)[:, None].astype(np.float32)
+
+
 def _save_packed_arrays(output_dir: str, stacked) -> list:
   """Saves stacked arrays; allowlisted image modalities in [0, 1] are
   stored as uint8 — 4x less IO and host->device transfer.  Error bound
@@ -52,7 +81,7 @@ def _save_packed_arrays(output_dir: str, stacked) -> list:
 
 
 def _device_pack_windows(collected, modalities, past_length, future_length,
-                         num_frame_skips):
+                         num_frame_skips, image_size=None):
   """Windows + ego-frames + quantises a rollout ON DEVICE (one jit).
 
   The naive pipeline fetches the raw ``[T, B, ...]`` sensor stacks to the
@@ -80,9 +109,10 @@ def _device_pack_windows(collected, modalities, past_length, future_length,
   if _device_pack_jit is None:
     import jax
     _device_pack_jit = jax.jit(_device_pack_windows_impl,
-                               static_argnums=(1, 2, 3, 4))
+                               static_argnums=(1, 2, 3, 4, 5))
   return _device_pack_jit(collected, tuple(modalities), past_length,
-                          future_length, num_frame_skips)
+                          future_length, num_frame_skips,
+                          tuple(image_size) if image_size else None)
 
 
 _device_pack_jit = None
@@ -90,7 +120,9 @@ _device_gather_jit = None
 
 
 def _device_pack_windows_impl(collected, modalities, past_length,
-                              future_length, num_frame_skips):
+                              future_length, num_frame_skips,
+                              image_size=None):
+  import jax
   import jax.numpy as jnp
 
   loc = collected["location"]            # [T, B, 3]
@@ -124,8 +156,27 @@ def _device_pack_windows_impl(collected, modalities, past_length,
     value = collected[key][centers]                           # [C, B, ...]
     if value.ndim == 2:
       value = value[..., None]  # match host np.atleast_1d per-sample
-    if key in _QUANTIZABLE_MODALITIES and value.dtype == jnp.float32:
-      value = jnp.clip(jnp.round(value * 255.0), 0, 255).astype(jnp.uint8)
+    if key in _QUANTIZABLE_MODALITIES:
+      if image_size is not None and value.ndim >= 4:
+        # Pack at model input resolution: the trainers' first transform
+        # is this exact bilinear resize (models/transforms.py
+        # `downsample_visual_features`), so doing it at pack time is
+        # equivalence-preserving and cuts disk/HBM/link cost by
+        # (H*W)/(h*w) — the lever that lets a 10x dataset stay
+        # device-resident.
+        value = jax.image.resize(
+            value.astype(jnp.float32),
+            value.shape[:-3] + tuple(image_size) + value.shape[-1:],
+            method="bilinear")
+      # Allowlisted image modalities are contractually in [0, 1] (BEV
+      # splat clips to 5 pts/px and divides by 5; cameras emit [0, 1]);
+      # the clip below only guards float rounding at the boundaries.
+      value = jnp.clip(jnp.round(value.astype(jnp.float32) * 255.0),
+                       0, 255).astype(jnp.uint8)
+    else:
+      # Host path casts every modality to float32 (`collect_packed`'s
+      # numpy loop) — keep on-disk dtypes identical across both paths.
+      value = value.astype(jnp.float32)
     out[key] = value
   return out
 
@@ -203,15 +254,17 @@ class CARLADataset(Dataset):
       modalities: Sequence[str],
       mode: bool,
       dataformat: str = "HWC",
+      signed_mode: bool = False,
   ) -> Mapping[str, np.ndarray]:
     """Loads a single ``.npz`` datum (datasets/carla.py:107-164).
 
-    The ``mode`` label {0 FORWARD, 1 STOP, 2 LEFT, 3 RIGHT} follows the
-    reference rule *including its quirk*: theta = degrees(arccos(x/r)) is
-    always >= 0, so the reference's RIGHT branch (theta <= -15,
-    datasets/carla.py:154) is unreachable and right turns label as
-    FORWARD.  Preserved for dataset parity; `CILAgent` uses the signed
-    variant (see baselines/cil_agent.py).
+    By default the ``mode`` label {0 FORWARD, 1 STOP, 2 LEFT, 3 RIGHT}
+    follows the reference rule *including its quirk*: theta =
+    degrees(arccos(x/r)) is always >= 0, so the reference's RIGHT branch
+    (theta <= -15, datasets/carla.py:154) is unreachable and right turns
+    label as FORWARD.  Preserved for byte-level dataset parity; pass
+    ``signed_mode=True`` for the fixed rule the trainers use (see
+    `derive_mode_labels`).
     """
     assert dataformat in ("HWC", "CHW")
     dtype = np.float32
@@ -225,19 +278,8 @@ class CARLADataset(Dataset):
         sample[attr] = value
 
     if mode and "player_future" in sample:
-      plan = sample["player_future"]
-      x_t, y_t = plan[-1, :2]
-      norm = np.linalg.norm([x_t, y_t])
-      theta = np.degrees(np.arccos(x_t / (norm + 1e-3)))
-      if norm < 3:  # STOP
-        sample["mode"] = 1
-      elif theta > 15:  # LEFT
-        sample["mode"] = 2
-      elif theta <= -15:  # RIGHT (unreachable; see docstring)
-        sample["mode"] = 3
-      else:  # FORWARD
-        sample["mode"] = 0
-      sample["mode"] = np.atleast_1d(sample["mode"]).astype(dtype)
+      sample["mode"] = derive_mode_labels(
+          sample["player_future"][None], signed=signed_mode)[0]
 
     sample["name"] = fname
     return sample
@@ -376,6 +418,7 @@ class CARLADataset(Dataset):
       seed: int = 0,
       chunk_episodes: int = 24,
       device_pack: bool = True,
+      image_size: Optional[Sequence[int]] = None,
   ) -> int:
     """Device-to-training-set pipeline: batched autopilot rollouts are
     windowed (past/future ego-frame trajectories) *in memory* and written
@@ -391,10 +434,18 @@ class CARLADataset(Dataset):
     accelerator is remote.  ``device_pack=False`` keeps the host-numpy
     path (float64 transforms; equivalence covered by tests).
 
+    ``image_size``: when given (e.g. ``(100, 100)``), image modalities
+    are bilinearly resized ON DEVICE to this shape before quantisation —
+    the trainers' own first transform, applied at pack time.  Device-pack
+    path only.
+
     Returns the number of training samples written.
     """
     import jax as _jax
     import json as _json
+
+    if image_size is not None and not device_pack:
+      raise ValueError("image_size requires device_pack=True")
     from oatomobile_tpu.envs.batched import BatchedEnv
     from oatomobile_tpu.ops import transforms as tf_ops_mod
     from oatomobile_tpu.sim import autopilot_policy
@@ -423,7 +474,8 @@ class CARLADataset(Dataset):
 
       if device_pack:
         packed = _device_pack_windows(collected, modalities, past_length,
-                                      future_length, num_frame_skips)
+                                      future_length, num_frame_skips,
+                                      image_size=image_size)
         packed = {k: np.asarray(v) for k, v in packed.items()}  # fetch
         # Episode-major sample order, matching the host loop (for b: for i).
         mask = packed.pop("valid").T.reshape(-1)                # [B*C]
@@ -658,12 +710,16 @@ class CARLADataset(Dataset):
       val_fraction: float = 0.05,
       split_seed: int = 1234,
       mode: bool = False,
+      signed_mode: bool = True,
   ) -> Generator[Mapping[str, np.ndarray], None, None]:
     """Yields batches from a packed dataset via memory-mapped reads.
 
     ``mode``: derive the {FORWARD, STOP, LEFT, RIGHT} command label from
-    ``player_future`` per batch (vectorised twin of ``load_datum``'s
-    rule, reference quirk included — see its docstring).
+    ``player_future`` per batch.  Labels use the SIGNED angle rule by
+    default so training conditioning matches the eval-time policy (see
+    `derive_mode_labels` — the reference's unsigned quirk made RIGHT
+    unreachable in training while eval emitted it); pass
+    ``signed_mode=False`` for the reference rule.
 
     Quantised (uint8) image modalities are yielded as uint8 by default —
     4x less host->device transfer; consumers divide by 255 *inside* jit
@@ -701,13 +757,8 @@ class CARLADataset(Dataset):
           value = value.astype(np.float32) / 255.0
         batch[key] = value
       if mode and "player_future" in batch:
-        end = batch["player_future"][:, -1, :2]
-        norm = np.linalg.norm(end, axis=-1)
-        theta = np.degrees(np.arccos(end[:, 0] / (norm + 1e-3)))
-        m = np.where(norm < 3, 1,
-                     np.where(theta > 15, 2,
-                              np.where(theta <= -15, 3, 0)))
-        batch["mode"] = m[:, None].astype(np.float32)
+        batch["mode"] = derive_mode_labels(batch["player_future"],
+                                           signed=signed_mode)
       yield batch
 
   @staticmethod

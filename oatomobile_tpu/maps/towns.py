@@ -164,6 +164,12 @@ def _build(name: str) -> TownMap:
   pins = {idx % S: xy for idx, xy in sorted(pins.items())}
   if pins:
     town = apply_spawn_pins(town, pins)
+  # No benchmark task may be unwinnable: every configured route must fit
+  # the 1500-step horizon at reference cruise (maps/repair.py).
+  tasks = pins_lib._load_tasks(name)
+  if tasks:
+    from oatomobile_tpu.maps.repair import repair_benchmark_routes
+    town = repair_benchmark_routes(town, tasks)
   return town
 
 
@@ -171,7 +177,7 @@ _CACHE_DIR = os.environ.get(
     "OATOMOBILE_TPU_MAP_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "oatomobile_tpu", "maps"))
 
-_CACHE_VERSION = 6
+_CACHE_VERSION = 7
 
 
 def _cache_path(name: str) -> str:

@@ -23,6 +23,7 @@ BRIDGE = json.loads(os.environ.get(
 VARIANTS = json.loads(os.environ.get("RUN_VARIANTS", json.dumps([
     ["dim", 10], ["rip_wcm", 20], ["rip_bcm", 20], ["rip_ma", 20],
 ])))
+NUM_MODELS = int(os.environ.get("RUN_NUM_MODELS", 4))
 
 T0 = time.time()
 
@@ -49,16 +50,21 @@ def main():
              traffic_light_state=jnp.zeros((1, 1)))
   template_one = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 2)),
                             method=model.log_prob, **ctx)
-  template = jax.tree.map(lambda x: jnp.stack([x] * 4, 0), template_one)
+  template = jax.tree.map(lambda x: jnp.stack([x] * NUM_MODELS, 0),
+                          template_one)
   ckpt = Checkpointer(os.path.join(OUT, "rip", "ckpts"), prefix="ensemble")
   stacked = ckpt.load_named("best", jax.device_get(template))
-  log("loaded ensemble-best")
+  log("loaded ensemble-best (K={})".format(NUM_MODELS))
 
   path = os.path.join(OUT, "rip_sweep.json")
   table = json.load(open(path)) if os.path.exists(path) else {}
+  # Cached entries are keyed by (algorithm, steps) only; a changed
+  # RUN_BRIDGE does NOT invalidate them — warn instead of silently reusing.
   for name, steps in VARIANTS:
     key = "{}_{}steps".format(name, steps)
     if key in table:
+      log("SKIP {} (cached result; rerun with a fresh RUN_OUT or delete "
+          "rip_sweep.json if RUN_BRIDGE changed)".format(key))
       continue
     if name == "dim":
       policy = make_dim_policy(model, unstack_params(stacked, 0),

@@ -63,3 +63,55 @@ def test_evaluate_single_corl_task(tmp_path):
   assert os.path.exists(csv_path)
   header, row = open(csv_path).read().strip().split("\n")
   assert "collisions" in header
+
+
+def test_summarize_per_family_and_timeouts():
+  from oatomobile_tpu.benchmarks.batched_eval import summarize, task_family
+
+  assert task_family("AbnormalTurns5-v0") == "AbnormalTurns"
+  assert task_family("Town01_Turn22-v0") == "Town01_Turn"
+  results = {
+      "Hills0-v0": {"episodes": [
+          {"success": True, "collisions": 0, "distance": 100.0},
+          {"success": False, "collisions": 1, "distance": 20.0},
+      ]},
+      "Hills1-v0": {"episodes": [
+          {"success": False, "collisions": 0, "distance": 300.0},  # timeout
+          {"success": True, "collisions": 0, "distance": 120.0},
+      ]},
+      "Roundabouts0-v0": {"success": False, "collisions": 2,
+                          "distance": 10.0},
+  }
+  s = summarize(results)
+  assert s["num_tasks"] == 3
+  assert s["episodes"] == 5
+  assert abs(s["success_rate"] - 2 / 5) < 1e-9
+  assert abs(s["collision_rate"] - 2 / 5) < 1e-9
+  assert abs(s["timeout_rate"] - 1 / 5) < 1e-9
+  fam = s["per_family"]
+  assert set(fam) == {"Hills", "Roundabouts"}
+  assert fam["Hills"]["episodes"] == 4
+  assert abs(fam["Hills"]["timeout_rate"] - 0.25) < 1e-9
+  assert fam["Roundabouts"]["collision_rate"] == 1.0
+  assert 0.0 < s["success_ci95"] < 1.0
+
+
+def test_evaluate_batched_multi_episode(tmp_path):
+  # Replicated episodes run inside one rollout; per-task rows carry the
+  # per-episode list and summary.json gains CIs + per-family rates.
+  import json
+  from oatomobile_tpu.benchmarks.batched_eval import evaluate_batched
+
+  tasks = {
+      "Town02_Straight0-v0": {"town": "Town02", "origin": 10,
+                              "destination": 40, "num_vehicles": 2,
+                              "num_pedestrians": 0},
+  }
+  out = str(tmp_path / "eval")
+  results = evaluate_batched(tasks, horizon=20, num_episodes=3, seed=5,
+                             log_dir=out)
+  row = results["Town02_Straight0-v0"]
+  assert len(row["episodes"]) == 3
+  summary = json.load(open(os.path.join(out, "summary.json")))["summary"]
+  assert summary["episodes"] == 3
+  assert "per_family" in summary and "success_ci95" in summary

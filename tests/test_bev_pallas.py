@@ -15,7 +15,8 @@ def test_pallas_matches_xla_reference(num_vehicles, num_peds):
   params = make_params(town)
   states = init_scene_batch(town, 3, num_vehicles=num_vehicles,
                             num_pedestrians=num_peds, seed=7)
-  ref = jax.vmap(lambda s: bev.splat_lidar(params, s))(states)
+  ref = jax.vmap(lambda s: bev.splat_lidar(params, s,
+                                           method="dense"))(states)
   out = bev_pallas.splat_lidar_pallas(params, states, interpret=True)
   np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
@@ -31,6 +32,7 @@ def test_pallas_after_motion():
   actions = jnp.tile(jnp.asarray([0.8, 0.3, 0.0]), (2, 1))
   for _ in range(25):
     states = step(params, states, actions)
-  ref = jax.vmap(lambda s: bev.splat_lidar(params, s))(states)
+  ref = jax.vmap(lambda s: bev.splat_lidar(params, s,
+                                           method="dense"))(states)
   out = bev_pallas.splat_lidar_pallas(params, states, interpret=True)
   np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -97,22 +97,28 @@ def test_abnormal_tasks_turn_sharply(town03):
 
 
 def test_carnovel_routes_achievable():
+  # Every task must be completable within the 1500-step horizon at the
+  # reference 20 km/h cruise (~416 m range); maps/repair.py enforces
+  # [60, 390] m at build time — zero tolerance, no waived tasks.
   towns = {n: load_town(n) for n in ("Town03", "Town04")}
   for name, config in _tasks("carnovel").items():
     pts = _route_points(towns[config["town"]], config)
     dist = np.linalg.norm(np.diff(pts, axis=0), axis=1).sum()
-    assert 50 < dist < 430, "{}: {:.0f} m".format(name, dist)
+    assert 50 < dist < 400, "{}: {:.0f} m".format(name, dist)
 
 
-def test_corl_routes_mostly_achievable():
+def test_corl_routes_achievable():
+  # Round 2 waived up to 5% "index-collision stragglers" (>460 m routes,
+  # unwinnable by construction).  The route-repair pass kills them all.
   towns = {n: load_town(n) for n in ("Town01", "Town02")}
-  lens = []
+  lens = {}
   for name, config in _tasks("corl2017").items():
     pts = _route_points(towns[config["town"]], config)
-    lens.append(np.linalg.norm(np.diff(pts, axis=0), axis=1).sum())
-  lens = np.array(lens)
-  assert np.median(lens) < 320
-  assert (lens > 460).mean() < 0.05  # a few index-collision stragglers ok
+    lens[name] = np.linalg.norm(np.diff(pts, axis=0), axis=1).sum()
+  arr = np.array(list(lens.values()))
+  assert np.median(arr) < 320
+  bad = {n: round(float(l)) for n, l in lens.items() if not 50 < l < 400}
+  assert not bad, bad
 
 
 def test_heterogeneous_speed_limits(town03):

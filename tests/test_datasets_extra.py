@@ -100,7 +100,8 @@ def test_device_pack_matches_host_pack(tmp_path):
                                        **kwargs)
   assert n_dev == n_host > 0
   for key in ("lidar", "player_past", "player_future", "location",
-              "velocity", "goal"):
+              "velocity", "goal", "is_at_traffic_light",
+              "traffic_light_state"):
     a = np.load(os.path.join(dev, "{}.npy".format(key)))
     b = np.load(os.path.join(host, "{}.npy".format(key)))
     assert a.shape == b.shape, key
@@ -145,3 +146,78 @@ def test_plot_datum_and_coverage(tmp_path):
   assert os.path.exists(os.path.join(out, "lidar.png"))
   CARLADataset.plot_coverage(processed, str(tmp_path / "coverage.png"))
   assert os.path.exists(str(tmp_path / "coverage.png"))
+
+
+def test_mode_labels_signed_rule_matches_policy():
+  # Training labels (derive_mode_labels signed) and the eval policy's
+  # goal-geometry rule (cil/policy.mode_from_goal_jnp) must agree: the
+  # round-2 CIL collapse traced to RIGHT being unreachable in training
+  # (reference arccos quirk) while eval emitted it.
+  import jax.numpy as jnp
+  from oatomobile_tpu.baselines.learned.cil.policy import mode_from_goal_jnp
+  from oatomobile_tpu.datasets.carla import derive_mode_labels
+
+  ends = np.array([
+      [20.0, 0.0],    # straight ahead -> FORWARD
+      [1.0, 1.0],     # near -> STOP
+      [15.0, 10.0],   # +y -> RIGHT
+      [15.0, -10.0],  # -y -> LEFT
+      [0.5, 20.0],    # hard right
+  ])
+  future = np.zeros((len(ends), 80, 3), np.float32)
+  future[:, -1, :2] = ends
+  labels = derive_mode_labels(future, signed=True)[:, 0]
+  np.testing.assert_array_equal(labels, [0.0, 1.0, 3.0, 2.0, 3.0])
+
+  goal = jnp.asarray(future[:, -1:, :2])
+  np.testing.assert_array_equal(np.asarray(mode_from_goal_jnp(goal)),
+                                labels)
+
+  # Reference quirk variant: RIGHT unreachable, both turns label LEFT.
+  quirk = derive_mode_labels(future, signed=False)[:, 0]
+  np.testing.assert_array_equal(quirk, [0.0, 1.0, 2.0, 2.0, 2.0])
+  assert 3.0 not in quirk
+
+
+def test_packed_loader_modes_are_signed_by_default(packed_dataset):
+  from oatomobile_tpu.datasets.carla import derive_mode_labels
+  batch = next(CARLADataset.as_jax_packed(packed_dataset, batch_size=4,
+                                          mode=True))
+  np.testing.assert_array_equal(
+      batch["mode"], derive_mode_labels(batch["player_future"]))
+
+
+def test_trainer_in_graph_modes_match_host_labels(packed_dataset):
+  # The CIL trainer derives labels in-graph for device-resident batches;
+  # they must equal the host loader's.
+  import jax.numpy as jnp
+  from oatomobile_tpu.baselines.learned.cil.train import mode_labels_jnp
+  from oatomobile_tpu.datasets.carla import derive_mode_labels
+
+  batch = next(CARLADataset.as_jax_packed(packed_dataset, batch_size=4))
+  host = derive_mode_labels(batch["player_future"])
+  dev = np.asarray(mode_labels_jnp(jnp.asarray(batch["player_future"])))
+  np.testing.assert_allclose(dev, host)
+
+
+def test_pack_image_size_matches_trainer_transform(tmp_path):
+  # Packing at (100, 100) must equal packing full-res then applying the
+  # trainer's bilinear downsample (to within uint8 rounding).
+  import jax.numpy as jnp
+  from oatomobile_tpu.models import transforms
+
+  kwargs = dict(num_episodes=2, num_steps=120, num_frame_skips=10,
+                seed=21)
+  full = str(tmp_path / "full")
+  small = str(tmp_path / "small")
+  n_full = CARLADataset.collect_packed("Town02", full, **kwargs)
+  n_small = CARLADataset.collect_packed("Town02", small,
+                                        image_size=(100, 100), **kwargs)
+  assert n_full == n_small > 0
+  a = np.load(os.path.join(small, "lidar.npy"))
+  assert a.shape[1:3] == (100, 100) and a.dtype == np.uint8
+  b = np.load(os.path.join(full, "lidar.npy")).astype(np.float32) / 255.0
+  b = np.asarray(transforms.downsample_visual_features(
+      jnp.asarray(b), (100, 100)))
+  b = np.clip(np.round(b * 255.0), 0, 255).astype(np.uint8)
+  assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
