@@ -157,6 +157,12 @@ def _device_pack_windows_impl(collected, modalities, past_length,
     if value.ndim == 2:
       value = value[..., None]  # match host np.atleast_1d per-sample
     if key in _QUANTIZABLE_MODALITIES:
+      if value.dtype == jnp.uint8:
+        # Already resized + quantised inside the rollout's
+        # collect_transform (uint8 per-step storage is what keeps a
+        # large-chunk [T, B, H, W, C] stack inside HBM) — pure gather.
+        out[key] = value
+        continue
       if image_size is not None and value.ndim >= 4:
         # Pack at model input resolution: the trainers' first transform
         # is this exact bilinear resize (models/transforms.py
@@ -457,6 +463,25 @@ class CARLADataset(Dataset):
                      ["player_past", "player_future", "location",
                       "rotation"]}
 
+    collect_transform = None
+    if device_pack and image_size is not None:
+      import jax.numpy as _jnp
+
+      def collect_transform(obs):  # noqa: E306
+        """Resize + uint8-quantise image modalities per step, inside the
+        rollout scan — the [T, B, H, W, C] float32 stack of a large
+        chunk would not fit HBM (e.g. 128 x 500 x 200x200x2 f32 =
+        20 GB; 100x100 uint8 = 1.3 GB)."""
+        out = dict(obs)
+        for key, value in obs.items():
+          if key in _QUANTIZABLE_MODALITIES and value.ndim >= 3:
+            value = _jax.image.resize(
+                value, value.shape[:-3] + tuple(image_size) +
+                value.shape[-1:], method="bilinear")
+            out[key] = _jnp.clip(_jnp.round(value * 255.0), 0,
+                                 255).astype(_jnp.uint8)
+        return out
+
     done = 0
     while done < num_episodes:
       n = min(chunk_episodes, num_episodes - done)
@@ -469,7 +494,8 @@ class CARLADataset(Dataset):
           return _jax.vmap(lambda s: autopilot_policy(
               params, s, noise=noise))(states)
       _, collected, _ = env.rollout(num_steps, policy=policy,
-                                    collect=sensors)
+                                    collect=sensors,
+                                    collect_transform=collect_transform)
       done += n
 
       if device_pack:

@@ -163,6 +163,7 @@ class BatchedEnv:
       policy: Optional[Callable] = None,
       collect: Sequence[str] = (),
       compute: Sequence[str] = (),
+      collect_transform: Optional[Callable] = None,
   ):
     """On-device closed-loop rollout: `lax.scan` over time of the full
     (policy -> step -> auto-reset) loop; nothing touches the host.
@@ -178,6 +179,11 @@ class BatchedEnv:
         dead-code-eliminate them.  Use for honest sensor-in-the-loop
         throughput benchmarks (storing 1024 BEV images x T steps would
         blow HBM).
+      collect_transform: optional fn applied to the per-step obs dict
+        BEFORE stacking over time — e.g. resize + uint8-quantise image
+        modalities so the [T, N, ...] stack fits HBM (a 128-scene x
+        500-step float32 200x200 BEV stack alone is ~20 GB; at 100x100
+        uint8 it is 1.3 GB).
 
     Returns:
       (final_state, collected dict, episode_stats dict).
@@ -186,7 +192,8 @@ class BatchedEnv:
     # so an id() can never be recycled by a new policy while its compiled
     # rollout is alive.
     key = (num_steps, tuple(collect), tuple(compute),
-           None if policy is None else id(policy))
+           None if policy is None else id(policy),
+           None if collect_transform is None else id(collect_transform))
     if key not in self._rollout_cache:
       sensors = tuple(collect)
       computed = tuple(compute)
@@ -232,6 +239,8 @@ class BatchedEnv:
             obs = jax.vmap(synth.synthesize,
                            in_axes=(None, 0, None))(params, new_state,
                                                     sensors)
+            if collect_transform is not None:
+              obs = collect_transform(obs)
             out = obs
           if auto_reset:
             new_state = self._reset_where_done(initial, new_state, done)
@@ -247,9 +256,10 @@ class BatchedEnv:
                                                  length=num_steps)
         return final, collected, stats
 
-      self._rollout_cache[key] = (policy, jax.jit(run, donate_argnums=(2,)))
+      self._rollout_cache[key] = (policy, collect_transform,
+                                  jax.jit(run, donate_argnums=(2,)))
 
-    _, run_fn = self._rollout_cache[key]
+    _, _, run_fn = self._rollout_cache[key]
     final, collected, stats = run_fn(self._params, self._initial,
                                      self._state)
     self._state = final

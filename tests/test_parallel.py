@@ -93,3 +93,32 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
   state_next, loss_a = update(state, batch)
   restored_next, loss_b = update(restored, batch)
   np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+
+
+def test_batched_env_mesh_matches_unsharded_256():
+  # VERDICT r2 item 4: the dp-sharded *env* must agree with the
+  # unsharded one at production-like scene counts, not just batch 8.
+  from oatomobile_tpu.envs.batched import BatchedEnv
+  mesh = mesh_lib.make_mesh()
+  a = BatchedEnv("Town02", batch_size=256, num_vehicles=4, seed=11)
+  b = BatchedEnv("Town02", batch_size=256, num_vehicles=4, seed=11,
+                 mesh=mesh)
+  fa, _, sa = a.rollout(12)
+  fb, _, sb = b.rollout(12)
+  np.testing.assert_allclose(np.asarray(fa.hero_xy), np.asarray(fb.hero_xy),
+                             atol=1e-5)
+  np.testing.assert_allclose(np.asarray(sa["distance"]),
+                             np.asarray(sb["distance"]), atol=1e-5)
+  assert np.asarray(sa["distance"]).sum() > 0.0
+
+
+def test_dryrun_multichip_full_pipeline(capsys):
+  # The graft dryrun runs rollout -> in-graph collect -> sharded ensemble
+  # train step; assert all three phases execute and report layouts.
+  import __graft_entry__ as graft
+  graft.dryrun_multichip(8)
+  out = capsys.readouterr().out
+  assert "rollout: scenes=" in out
+  assert "collect: windows=" in out
+  assert "train: params sharding=" in out
+  assert "dryrun_multichip OK" in out
