@@ -26,7 +26,8 @@ from oatomobile_tpu.core.benchmark import Benchmark
 from oatomobile_tpu.core.dataset import Dataset, Episode, tokens
 from oatomobile_tpu.core.loop import EnvironmentLoop
 from oatomobile_tpu.core.registry import registry
-from oatomobile_tpu.core.rl import (Env, FiniteHorizonWrapper, Metric,
+from oatomobile_tpu.core.rl import (Env, FiniteHorizonWrapper,
+                                    LiveViewWrapper, Metric,
                                     MonitorWrapper, ReturnsMetric,
                                     SaveToDiskWrapper, StepsMetric, Transition,
                                     Wrapper)
@@ -46,6 +47,7 @@ __all__ = (
     "Wrapper",
     "FiniteHorizonWrapper",
     "Metric",
+    "LiveViewWrapper",
     "MonitorWrapper",
     "ReturnsMetric",
     "StepsMetric",

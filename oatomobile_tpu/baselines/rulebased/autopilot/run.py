@@ -12,9 +12,9 @@ import argparse
 import oatomobile_tpu  # noqa: F401  (enables the compilation cache)
 from oatomobile_tpu.baselines.rulebased.autopilot.agent import AutopilotAgent
 from oatomobile_tpu.core.loop import EnvironmentLoop
-from oatomobile_tpu.core.rl import (FiniteHorizonWrapper, MonitorWrapper,
-                                    ReturnsMetric, SaveToDiskWrapper,
-                                    StepsMetric)
+from oatomobile_tpu.core.rl import (FiniteHorizonWrapper, LiveViewWrapper,
+                                    MonitorWrapper, ReturnsMetric,
+                                    SaveToDiskWrapper, StepsMetric)
 from oatomobile_tpu.envs.carla import (CARLAEnv, CollisionsMetric,
                                        DistanceMetric, LaneInvasionsMetric)
 
@@ -30,6 +30,9 @@ def main() -> None:
                       help="if set, saves observations to disk")
   parser.add_argument("--monitor_fname", default=None,
                       help="if set, records a GIF of the episode")
+  parser.add_argument("--live", action="store_true",
+                      help="show the multi-sensor dashboard live (~5 Hz) "
+                           "while the episode runs")
   parser.add_argument("--cpu", action="store_true",
                       help="force the CPU backend (fast compiles)")
   args = parser.parse_args()
@@ -49,6 +52,8 @@ def main() -> None:
   env = FiniteHorizonWrapper(env, max_episode_steps=args.num_steps)
   if args.monitor_fname is not None:
     env = MonitorWrapper(env, output_fname=args.monitor_fname)
+  if args.live:
+    env = LiveViewWrapper(env)
 
   metrics = [
       StepsMetric(),

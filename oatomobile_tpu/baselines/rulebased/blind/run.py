@@ -10,8 +10,8 @@ import argparse
 import oatomobile_tpu  # noqa: F401  (enables the compilation cache)
 from oatomobile_tpu.baselines.rulebased.blind.agent import BlindAgent
 from oatomobile_tpu.core.loop import EnvironmentLoop
-from oatomobile_tpu.core.rl import (FiniteHorizonWrapper, ReturnsMetric,
-                                    StepsMetric)
+from oatomobile_tpu.core.rl import (FiniteHorizonWrapper, LiveViewWrapper,
+                                    ReturnsMetric, StepsMetric)
 from oatomobile_tpu.envs.carla import (CARLAEnv, CollisionsMetric,
                                        DistanceMetric, LaneInvasionsMetric)
 
@@ -22,6 +22,9 @@ def main() -> None:
   parser.add_argument("--num_steps", type=int, default=200)
   parser.add_argument("--num_vehicles", type=int, default=0)
   parser.add_argument("--num_pedestrians", type=int, default=0)
+  parser.add_argument("--live", action="store_true",
+                      help="show the multi-sensor dashboard live (~5 Hz) "
+                           "while the episode runs")
   parser.add_argument("--cpu", action="store_true",
                       help="force the CPU backend (fast compiles)")
   args = parser.parse_args()
@@ -37,6 +40,8 @@ def main() -> None:
       sensors=("goal", "velocity"),
   )
   env = FiniteHorizonWrapper(env, max_episode_steps=args.num_steps)
+  if args.live:
+    env = LiveViewWrapper(env)
   metrics = [
       StepsMetric(),
       ReturnsMetric(),

@@ -257,3 +257,38 @@ class MonitorWrapper(Wrapper):
     # never written (imageio writers only materialise on close).
     self._recorder.close()
     self.env.close()
+
+
+class LiveViewWrapper(Wrapper):
+  """Displays the multi-panel dashboard live while the episode runs —
+  the role of the reference's pygame window (reference
+  utils/graphics.py:41-73 display setup shown during CARLASimulator
+  render, simulator.py:1784-1834).  Headless hosts degrade to a no-op
+  (see utils.graphics.LiveViewer)."""
+
+  def __init__(self, env: Env, *, refresh_hz: float = 5.0,
+               render_mode: str = "human") -> None:
+    super().__init__(env=env)
+    from oatomobile_tpu.utils.graphics import LiveViewer
+    self._viewer = LiveViewer(refresh_hz=refresh_hz)
+    self._render_mode = render_mode
+
+  def _show(self) -> None:
+    frame = np.asarray(self.render(mode=self._render_mode))
+    if frame.dtype != np.uint8:
+      frame = (np.clip(frame, 0.0, 1.0) * 255).astype(np.uint8)
+    self._viewer.show(frame)
+
+  def reset(self, *args: Any, **kwargs: Any) -> Observations:
+    observation = self.env.reset(*args, **kwargs)
+    self._show()
+    return observation
+
+  def step(self, action: Action, *args: Any, **kwargs: Any) -> Transition:
+    transition = self.env.step(action)
+    self._show()
+    return transition
+
+  def close(self) -> None:
+    self._viewer.close()
+    self.env.close()

@@ -211,3 +211,59 @@ def plot_trajectory_overlay(bev: np.ndarray,
     fig.savefig(output_fname, bbox_inches="tight", pad_inches=0,
                 transparent=True)
   return fig
+
+
+class LiveViewer:
+  """Live dashboard window — the reference's pygame display
+  (/root/reference/oatomobile/utils/graphics.py:41-73 setup + :204-382
+  make_dashboard shown in a window while the episode runs).
+
+  pygame is not available in this image, so the window is a matplotlib
+  interactive figure refreshed in place (imshow set_data, ~1 ms/frame).
+  On a headless host (no GUI backend), frames are dropped with a single
+  warning instead of raising — `--live` is safe to pass anywhere.
+  """
+
+  def __init__(self, refresh_hz: float = 5.0, title: str = "oatomobile"):
+    self._min_dt = 1.0 / max(refresh_hz, 1e-3)
+    self._title = title
+    self._last = 0.0
+    self._fig = None
+    self._image = None
+    self._dead = False
+
+  def show(self, frame: np.ndarray) -> None:
+    """Displays ``frame`` (uint8 [H, W, 3]), rate-limited to refresh_hz."""
+    import time
+    if self._dead or frame is None:
+      return
+    now = time.time()
+    if now - self._last < self._min_dt:
+      return
+    self._last = now
+    try:
+      import matplotlib
+      import matplotlib.pyplot as plt
+      if self._fig is None:
+        if matplotlib.get_backend().lower() == "agg":
+          raise RuntimeError("headless (Agg) backend")
+        plt.ion()
+        self._fig, ax = plt.subplots(num=self._title)
+        ax.set_axis_off()
+        self._image = ax.imshow(frame)
+      else:
+        self._image.set_data(frame)
+      self._fig.canvas.draw_idle()
+      self._fig.canvas.flush_events()
+    except Exception as exc:  # headless / closed window
+      if not self._dead:
+        import logging
+        logging.getLogger(__name__).warning(
+            "live view disabled: %s", exc)
+      self._dead = True
+
+  def close(self) -> None:
+    if self._fig is not None:
+      import matplotlib.pyplot as plt
+      plt.close(self._fig)
+      self._fig = None

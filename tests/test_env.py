@@ -141,3 +141,20 @@ def test_predictions_write_back(env):
   env.simulator.sensor_suite.get("predictions").predictions = plan
   obs, _, _, _ = env.step({"throttle": 0.0})
   np.testing.assert_array_equal(obs["predictions"], plan)
+
+
+def test_live_view_wrapper_headless_degrades_gracefully():
+  # --live on a headless host must not fail: frames are dropped after a
+  # single warning (reference parity: pygame window, graphics.py:41-73).
+  import matplotlib
+  matplotlib.use("Agg", force=True)
+  from oatomobile_tpu.core.rl import LiveViewWrapper
+  from oatomobile_tpu.envs.carla import CARLAEnv
+
+  env = LiveViewWrapper(CARLAEnv(town="Town02", sensors=("velocity",)))
+  env.reset()
+  obs, reward, done, info = env.step(
+      {"throttle": 0.5, "steer": 0.0, "brake": 0.0})
+  assert "velocity" in obs
+  assert env._viewer._dead  # headless -> viewer disabled, not crashed
+  env.close()
