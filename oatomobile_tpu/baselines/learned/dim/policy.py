@@ -36,8 +36,21 @@ def make_dim_policy(model: ImitativeModel,
                     use_brake: bool = True,
                     curvature_slowdown: bool = True,
                     warmup_floor: float = 20.0 / 3.6,
-                    speed_gain: float = 1.0):
-  """Returns `policy(world_params, states) -> (actions [B,3], states)`."""
+                    speed_gain: float = 1.0,
+                    encoder_dtype: str = "float32"):
+  """Returns `policy(world_params, states) -> (actions [B,3], states)`.
+
+  ``encoder_dtype="bfloat16"`` runs the MobileNetV2 context encoder —
+  the measured closed-loop bottleneck (58.3 ms of the step @B=1024 vs
+  ~50 ms for the entire 20-step planner, PARITY.md) — in bf16 on the
+  MXU, with the flow planner kept in f32 (its Adam inner loop
+  differentiates through the flow; bf16 gradients there destabilise the
+  plan).  z returns to f32 before planning.
+  """
+  cast_params = None
+  if encoder_dtype == "bfloat16":
+    cast_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                               model_params)
 
   def policy(world_params: WorldParams,
              states: SceneState) -> Tuple[jnp.ndarray, SceneState]:
@@ -55,9 +68,15 @@ def make_dim_policy(model: ImitativeModel,
     )
     goal = obs["goal"][..., :2]
 
-    plan = model.apply(model_params, num_steps=num_plan_steps, goal=goal,
-                       lr=lr, epsilon=epsilon, method=model.plan,
-                       **context)  # [B, T, 2] ego frame
+    if cast_params is not None:
+      ctx16 = {k: v.astype(jnp.bfloat16) for k, v in context.items()}
+      z = model.apply(cast_params, method=model.params_z,
+                      **ctx16).astype(jnp.float32)
+    else:
+      z = model.apply(model_params, method=model.params_z, **context)
+    plan = model.apply(model_params, z, num_steps=num_plan_steps,
+                       goal=goal, lr=lr, epsilon=epsilon,
+                       method=model.plan_from_z)  # [B, T, 2] ego frame
 
     return bridge.plan_to_action(
         world_params, states, plan, setpoint_frac=setpoint_frac,

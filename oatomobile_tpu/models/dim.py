@@ -124,8 +124,23 @@ class ImitativeModel(nn.Module):
     del rngs
     if "visual_features" not in context:
       raise ValueError("Missing `visual_features` keyword argument.")
-    batch_size = context["visual_features"].shape[0]
     z = self.params_z(**context)
+    return self.plan_from_z(z, num_steps=num_steps, goal=goal, lr=lr,
+                            epsilon=epsilon)
+
+  def plan_from_z(self,
+                  z: jnp.ndarray,
+                  num_steps: int = 10,
+                  goal: Optional[jnp.ndarray] = None,
+                  lr: float = 1e-1,
+                  epsilon: float = 1.0) -> jnp.ndarray:
+    """`plan` with a precomputed context encoding z [B, 64].
+
+    Split out so callers can run the encoder at a different precision
+    (bf16 MXU inference) or share one z across replans while the
+    f32 flow planner stays exact.
+    """
+    batch_size = z.shape[0]
 
     x0 = jnp.zeros((batch_size,) + tuple(self.output_shape))
     optimizer = optax.adam(lr)

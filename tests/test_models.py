@@ -218,3 +218,38 @@ def test_rip_plan_is_per_scene_independent(rng):
       np.testing.assert_allclose(np.asarray(batched[b]),
                                  np.asarray(single[0]), atol=1e-4,
                                  err_msg=algorithm)
+
+
+def test_plan_from_z_matches_plan_and_bf16_encoder_close():
+  import jax
+  import jax.numpy as jnp
+  from oatomobile_tpu.models.dim import ImitativeModel
+
+  model = ImitativeModel(output_shape=(4, 2))
+  rng = jax.random.PRNGKey(3)
+  B = 3
+  ctx = dict(
+      visual_features=jax.random.uniform(rng, (B, 100, 100, 2)),
+      velocity=jnp.ones((B, 3)),
+      is_at_traffic_light=jnp.zeros((B, 1)),
+      traffic_light_state=jnp.zeros((B, 1)))
+  y0 = jnp.zeros((B, 4, 2))
+  params = model.init(rng, y0, method=model.log_prob, **ctx)
+  goal = jnp.tile(jnp.asarray([[5.0, 0.0]]), (B, 1))[:, None, :]
+
+  plan_a = model.apply(params, num_steps=5, goal=goal, method=model.plan,
+                       **ctx)
+  z = model.apply(params, method=model.params_z, **ctx)
+  plan_b = model.apply(params, z, num_steps=5, goal=goal,
+                       method=model.plan_from_z)
+  np.testing.assert_allclose(np.asarray(plan_a), np.asarray(plan_b),
+                             atol=1e-6)
+
+  # bf16 encoder (the closed-loop policy's MXU path) must track f32 z.
+  params16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+  ctx16 = {k: v.astype(jnp.bfloat16) for k, v in ctx.items()}
+  z16 = model.apply(params16, method=model.params_z,
+                    **ctx16).astype(jnp.float32)
+  err = float(jnp.abs(z16 - z).max())
+  scale = float(jnp.abs(z).max())
+  assert err < 0.05 * max(scale, 1.0), (err, scale)
