@@ -1,19 +1,24 @@
 """On-device train-in-the-loop imitation learning (DAgger-style).
 
-Alternates entirely on one chip, no external simulator:
+The flagship TPU-native workflow — alternates entirely on one chip, no
+external simulator, no disk hops between phases beyond the packed cache:
 
-  1. COLLECT: vmapped expert rollouts -> packed training data
-     (fresh scenes each round; the expert is the in-graph autopilot);
-  2. TRAIN: DIM NLL epochs on the aggregate dataset (resume=True keeps
-     optimiser state across rounds);
-  3. EVALUATE: closed-loop batched rollout of the *learned* policy.
+  1. COLLECT: vmapped expert rollouts -> device-windowed packed data
+     (fresh scenes + traffic each round; the expert is the in-graph
+     autopilot; images resized+quantised inside the rollout scan);
+  2. TRAIN: DIM NLL epochs on the aggregate dataset, device-resident
+     batches (resume=True keeps optimiser state across rounds);
+  3. EVALUATE: the full CARNOVEL distribution-shift suite, multi-episode
+     with CIs, driven by the *learned* in-graph policy — plus an
+     in-distribution Town01 rollout.
 
-This is the workflow the BASELINE north star names ("fully on-device
-train-in-the-loop imitation learning") — the reference needs a CARLA
-server per env and host round-trips for every step of it.
+The reference cannot express this loop at all: its pipeline is offline
+disk hops around a CARLA server (datasets/carla.py:166-325), one env per
+GPU at 20 Hz.  Produces OUT/history.json and OUT/curve.png.
 
 Run: PYTHONPATH=. python scripts/train_in_the_loop.py
-Env: LOOP_ROUNDS, LOOP_EPISODES, LOOP_EPOCHS, LOOP_OUT.
+Env: LOOP_ROUNDS, LOOP_EPISODES, LOOP_EPOCHS, LOOP_CARNOVEL_EPISODES,
+     LOOP_OUT.
 """
 
 import json
@@ -25,9 +30,10 @@ import numpy as np
 import oatomobile_tpu  # noqa: F401
 
 OUT = os.environ.get("LOOP_OUT", "/tmp/oatpu_loop")
-ROUNDS = int(os.environ.get("LOOP_ROUNDS", 3))
-EPISODES = int(os.environ.get("LOOP_EPISODES", 24))
-EPOCHS = int(os.environ.get("LOOP_EPOCHS", 10))
+ROUNDS = int(os.environ.get("LOOP_ROUNDS", 4))
+EPISODES = int(os.environ.get("LOOP_EPISODES", 128))
+EPOCHS = int(os.environ.get("LOOP_EPOCHS", 8))
+CARNOVEL_EPISODES = int(os.environ.get("LOOP_CARNOVEL_EPISODES", 3))
 
 T0 = time.time()
 
@@ -36,34 +42,53 @@ def log(msg):
   print("[loop {:.0f}s] {}".format(time.time() - T0, msg), flush=True)
 
 
-def merge_packed(chunks, out_dir):
-  import glob
-  os.makedirs(out_dir, exist_ok=True)
-  manifests = [json.load(open(os.path.join(c, "manifest.json")))
-               for c in chunks]
-  keys = manifests[0]["modalities"]
-  total = sum(m["num_samples"] for m in manifests)
-  for key in keys:
-    arrs = [np.load(os.path.join(c, key + ".npy")) for c in chunks]
-    np.save(os.path.join(out_dir, key + ".npy"), np.concatenate(arrs, 0))
-  json.dump({"num_samples": total, "modalities": keys,
-             "quantized": manifests[0].get("quantized", [])},
-            open(os.path.join(out_dir, "manifest.json"), "w"))
-  return total
-
-
 def evaluate(model, params, seed):
+  """In-distribution Town01 rollout + the CARNOVEL shift suite."""
   import jax
   from oatomobile_tpu.baselines.learned.dim.policy import make_dim_policy
+  from oatomobile_tpu.benchmarks.batched_eval import (evaluate_batched,
+                                                      summarize)
+  from oatomobile_tpu.benchmarks.carnovel.benchmark import _TASKS
   from oatomobile_tpu.envs.batched import BatchedEnv
+
+  policy = make_dim_policy(model, params, num_plan_steps=20, epsilon=0.3,
+                           speed_gain=1.2)
   env = BatchedEnv("Town01", batch_size=128, num_vehicles=0, seed=seed)
-  policy = make_dim_policy(model, params, num_plan_steps=20, epsilon=0.3)
   _, _, stats = env.rollout(300, policy=policy)
-  return {
-      "mean_distance_m": float(np.asarray(stats["distance"]).mean()),
-      "collision_free_frac": float(
+  result = {
+      "town01_mean_distance_m": float(np.asarray(stats["distance"]).mean()),
+      "town01_collision_free": float(
           (np.asarray(stats["collisions"]) == 0).mean()),
   }
+  carnovel = summarize(evaluate_batched(
+      _TASKS, policy_fn=policy, num_episodes=CARNOVEL_EPISODES, seed=seed))
+  result["carnovel_success"] = carnovel["success_rate"]
+  result["carnovel_success_ci95"] = carnovel["success_ci95"]
+  result["carnovel_collision"] = carnovel["collision_rate"]
+  return result
+
+
+def plot_curve(history, fname):
+  import matplotlib
+  matplotlib.use("Agg")
+  import matplotlib.pyplot as plt
+
+  rounds = [h["round"] for h in history]
+  succ = np.array([h["carnovel_success"] for h in history])
+  ci = np.array([h["carnovel_success_ci95"] for h in history])
+  cf = [h["town01_collision_free"] for h in history]
+  fig, ax = plt.subplots(figsize=(6, 4))
+  ax.errorbar(rounds, succ, yerr=ci, marker="o",
+              label="CARNOVEL success (shift)")
+  ax.plot(rounds, cf, marker="s", label="Town01 collision-free (in-dist)")
+  ax.set_xlabel("train-in-the-loop round")
+  ax.set_ylabel("rate")
+  ax.set_ylim(0, 1)
+  ax.legend()
+  ax.set_title("On-device collect->train->evaluate rounds (DIM)")
+  fig.tight_layout()
+  fig.savefig(fname, dpi=120)
+  plt.close(fig)
 
 
 def main():
@@ -82,26 +107,28 @@ def main():
     if not CARLADataset.is_packed(chunk_dir):
       log("round {}: collect {} episodes".format(round_i, EPISODES))
       CARLADataset.collect_packed(
-          "Town01", chunk_dir, num_episodes=EPISODES, num_steps=300,
-          num_vehicles=4, noise=0.1, seed=1000 * round_i + 7)
+          "Town01", chunk_dir, num_episodes=EPISODES, num_steps=500,
+          num_vehicles=4 * round_i, noise=0.2, chunk_episodes=64,
+          image_size=(100, 100), seed=1000 * round_i + 7)
     chunks.append(chunk_dir)
-    dataset_dir = os.path.join(OUT, "dataset")
-    n = merge_packed(chunks, dataset_dir)
+    dataset_dir = os.path.join(OUT, "dataset_r{}".format(round_i))
+    n = CARLADataset.merge_packed(chunks, dataset_dir)
     log("round {}: dataset {} samples".format(round_i, n))
 
-    state = train(dataset_dir, os.path.join(OUT, "dim"), batch_size=128,
+    state = train(dataset_dir, os.path.join(OUT, "dim"), batch_size=256,
                   num_epochs=EPOCHS * (round_i + 1), use_mesh=False,
-                  resume=True)
+                  plot_every=0, resume=True)
     result = evaluate(model, jax.device_get(state.params),
                       seed=31 + round_i)
     result["round"] = round_i
     result["samples"] = n
     history.append(result)
     log("round {}: eval {}".format(round_i, result))
+    json.dump(history, open(os.path.join(OUT, "history.json"), "w"),
+              indent=2)
 
-  json.dump(history, open(os.path.join(OUT, "history.json"), "w"),
-            indent=2)
-  log("done")
+  plot_curve(history, os.path.join(OUT, "curve.png"))
+  log("done: {}/history.json, curve.png".format(OUT))
 
 
 if __name__ == "__main__":
