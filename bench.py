@@ -52,15 +52,22 @@ def main() -> None:
     import jax.numpy as jnp
     from oatomobile_tpu.baselines.learned.dim.policy import make_dim_policy
     from oatomobile_tpu.models.dim import ImitativeModel
-    model = ImitativeModel(output_shape=(4, 2))
+    # Encoder study knobs: BENCH_DIM_INPUT (visual resolution, default
+    # the reference's 100) and BENCH_DIM_ENCODER_DTYPE (bfloat16 runs
+    # the MobileNetV2 on the MXU at half precision; the flow planner
+    # stays f32 — see baselines/learned/dim/policy.py).
+    size = int(os.environ.get("BENCH_DIM_INPUT", 100))
+    enc_dtype = os.environ.get("BENCH_DIM_ENCODER_DTYPE", "float32")
+    model = ImitativeModel(output_shape=(4, 2), input_size=(size, size))
     ctx = dict(
-        visual_features=jnp.zeros((1, 100, 100, 2)),
+        visual_features=jnp.zeros((1, size, size, 2)),
         velocity=jnp.zeros((1, 3)),
         is_at_traffic_light=jnp.zeros((1, 1)),
         traffic_light_state=jnp.zeros((1, 1)))
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 2)),
                         method=model.log_prob, **ctx)
-    policy = make_dim_policy(model, params, num_plan_steps=20)
+    policy = make_dim_policy(model, params, num_plan_steps=20,
+                             encoder_dtype=enc_dtype)
     rollout_kwargs = {}
     metric_name = "dim_closed_loop_steps_per_sec_per_chip"
 

@@ -130,6 +130,7 @@ def train(
     tensorboard: bool = False,
     velocity_dropout: float = VELOCITY_DROPOUT,
     device_data: bool = True,
+    input_size=(100, 100),
 ) -> dp.TrainState:
   """Runs training; returns the final TrainState.
 
@@ -158,7 +159,8 @@ def train(
     loggers.append(TensorBoardLogger(os.path.join(log_dir, "tb"),
                                      label="dim"))
 
-  model = ImitativeModel(output_shape=(num_timesteps_to_keep, 2))
+  model = ImitativeModel(output_shape=(num_timesteps_to_keep, 2),
+                         input_size=tuple(input_size))
   mesh = mesh_lib.make_mesh() if use_mesh and jax.device_count() > 1 \
       else None
 

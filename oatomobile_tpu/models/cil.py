@@ -21,6 +21,7 @@ class BehaviouralModel(nn.Module):
   """Deterministic autoregressive plan decoder."""
 
   output_shape: Tuple[int, int] = (40, 2)
+  input_size: Tuple[int, int] = (100, 100)
 
   def setup(self):
     self._encoder = MobileNetV2(num_classes=128, name="encoder")
@@ -70,7 +71,8 @@ class BehaviouralModel(nn.Module):
     if "visual_features" in sample:
       sample["visual_features"] = transforms.transpose_visual_features(
           transforms.downsample_visual_features(
-              sample["visual_features"], output_shape=(100, 100)))
+              sample["visual_features"],
+              output_shape=tuple(self.input_size)))
     if "mode" in sample:
       mode = sample["mode"]
       sample["mode"] = jnp.where(mode == 1.0, 0.0, mode)

@@ -26,9 +26,16 @@ from oatomobile_tpu.models.sequence import AutoregressiveFlow
 
 
 class ImitativeModel(nn.Module):
-  """Conditional density estimator p(trajectory | context)."""
+  """Conditional density estimator p(trajectory | context).
+
+  ``input_size``: the encoder's visual input resolution.  The reference
+  fixes 100x100 (dim/model.py:248-251 downsamples the 200x200 BEV);
+  50x50 quarters the encoder FLOPs — the closed-loop bottleneck — at a
+  measurable quality cost (input-resolution study, PARITY.md).
+  """
 
   output_shape: Tuple[int, int] = (4, 2)
+  input_size: Tuple[int, int] = (100, 100)
 
   def setup(self):
     self._encoder = MobileNetV2(num_classes=128, name="encoder")
@@ -195,5 +202,6 @@ class ImitativeModel(nn.Module):
     if "visual_features" in sample:
       sample["visual_features"] = transforms.transpose_visual_features(
           transforms.downsample_visual_features(
-              sample["visual_features"], output_shape=(100, 100)))
+              sample["visual_features"],
+              output_shape=tuple(self.input_size)))
     return sample
