@@ -32,7 +32,8 @@ def stack_ensemble(params_list: Sequence) -> dict:
 
 def rip_plan(model: ImitativeModel, stacked_params, goal, context, *,
              algorithm: str = "WCM", num_steps: int = 10, lr: float = 1e-1,
-             epsilon: float = 1.0) -> jnp.ndarray:
+             epsilon: float = 1.0,
+             encoder_dtype: str = "float32") -> jnp.ndarray:
   """Pure-function RIP planner (jittable, vmappable).
 
   Args:
@@ -40,12 +41,23 @@ def rip_plan(model: ImitativeModel, stacked_params, goal, context, *,
     goal: [B, K_goals, 2] goals.
     context: model context dict.
     algorithm: "WCM" | "BCM" | "MA" (rip/agent.py:121-127).
+    encoder_dtype: "bfloat16" runs the K context encoders (K MobileNetV2
+      passes per step — the dominant closed-loop cost) on the MXU in
+      bf16; z returns to f32 before the flow planner (see
+      dim/policy.make_dim_policy).
   """
   batch_size = context["visual_features"].shape[0]
 
   # Contextual parameters per ensemble member: [K, B, H].
-  zs = jax.vmap(lambda p: model.apply(p, method=model.params_z, **context))(
-      stacked_params)
+  if encoder_dtype == "bfloat16":
+    enc_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                              stacked_params)
+    enc_ctx = {k: v.astype(jnp.bfloat16) for k, v in context.items()}
+  else:
+    enc_params, enc_ctx = stacked_params, context
+  zs = jax.vmap(
+      lambda p: model.apply(p, method=model.params_z, **enc_ctx))(
+          enc_params).astype(jnp.float32)
   z0 = jax.tree.map(lambda x: x[0], zs)
   params0 = jax.tree.map(lambda x: x[0], stacked_params)
 

@@ -37,7 +37,8 @@ def make_rip_policy(model: ImitativeModel,
                     use_brake: bool = True,
                     curvature_slowdown: bool = True,
                     warmup_floor: float = 20.0 / 3.6,
-                    speed_gain: float = 1.0):
+                    speed_gain: float = 1.0,
+                    encoder_dtype: str = "float32"):
   """Returns `policy(world_params, states) -> (actions [B,3], states)`."""
 
   def policy(world_params: WorldParams,
@@ -57,7 +58,7 @@ def make_rip_policy(model: ImitativeModel,
 
     plan = rip_plan(model, stacked_params, goal, context,
                     algorithm=algorithm, num_steps=num_plan_steps, lr=lr,
-                    epsilon=epsilon)
+                    epsilon=epsilon, encoder_dtype=encoder_dtype)
 
     return bridge.plan_to_action(
         world_params, states, plan, setpoint_frac=setpoint_frac,

@@ -384,3 +384,80 @@ def game_state(params: WorldParams, state: SceneState) -> jnp.ndarray:
   return jnp.stack(
       [road, lanes, vehicles, pedestrians, green, yellow, red, hero],
       axis=-1).astype(jnp.int32)
+
+
+def full_town_game_state(params: WorldParams,
+                         state: SceneState) -> jnp.ndarray:
+  """[H, W, 8] binary masks over the ENTIRE town raster grid.
+
+  Full parity with the reference GameStateSensor, which rasterises the
+  whole town per step (simulator.py:1475-1592 via graphics.py:941-1062):
+  channels road, lane boundaries, vehicles, pedestrians, green/yellow/
+  red lights, hero, on the town's static raster grid
+  (params.map["road_mask"] resolution, raster_ppm px/m).
+
+  This is the parity-complete variant of :func:`game_state` (which
+  serves the hot path with a hero-centric 64 m window — the only region
+  any in-repo consumer ever crops).  Whole-town rasters are ~2k px per
+  side; synthesise on demand, not per step per scene.
+  """
+  from oatomobile_tpu.sim import traffic as traffic_mod
+
+  road = params.map["road_mask"]
+  lanes = params.map["lane_mask"]
+  H, W = road.shape
+  origin = params.map["raster_origin"]
+  ppm = params.map["raster_ppm"]
+  wx = origin[0] + jnp.arange(H, dtype=jnp.float32)[:, None] / ppm \
+      * jnp.ones((1, W))
+  wy = origin[1] + jnp.arange(W, dtype=jnp.float32)[None, :] / ppm \
+      * jnp.ones((H, 1))
+
+  def boxes_mask(xy, yaw, alive, half_lw):
+    rel_u = wx[:, :, None] - xy[None, None, :, 0]
+    rel_v = wy[:, :, None] - xy[None, None, :, 1]
+    cr, sr = jnp.cos(yaw), jnp.sin(yaw)
+    bu = cr * rel_u + sr * rel_v
+    bv = -sr * rel_u + cr * rel_v
+    inside = ((jnp.abs(bu) <= half_lw[:, 0]) &
+              (jnp.abs(bv) <= half_lw[:, 1]) & alive[None, None, :])
+    return jnp.any(inside, axis=-1)
+
+  zeros = jnp.zeros((H, W), bool)
+  vehicles = zeros
+  if state.num_npcs > 0:
+    half_lw = jnp.stack([
+        jnp.full((state.num_npcs,), params.vehicle.length / 2),
+        jnp.full((state.num_npcs,), params.vehicle.width / 2)
+    ], -1)
+    vehicles = boxes_mask(state.npc_xy, state.npc_yaw, state.npc_alive,
+                          half_lw)
+  pedestrians = zeros
+  if state.num_pedestrians > 0:
+    half_lw = jnp.full((state.num_pedestrians, 2), 0.35)
+    pedestrians = boxes_mask(state.ped_xy, state.ped_yaw, state.ped_alive,
+                             half_lw)
+
+  tl_xy = params.map["tl_xy"]
+  green = yellow = red = zeros
+  if tl_xy.shape[0] > 0:
+    tl_states = traffic_mod.traffic_light_states(params, state.time)
+    du = jnp.abs(wx[:, :, None] - tl_xy[None, None, :, 0])
+    dv = jnp.abs(wy[:, :, None] - tl_xy[None, None, :, 1])
+    near = (du <= 1.0) & (dv <= 1.0)
+    green = jnp.any(near & (tl_states == traffic_mod.TL_GREEN), axis=-1)
+    yellow = jnp.any(near & (tl_states == traffic_mod.TL_YELLOW_STATE),
+                     axis=-1)
+    red = jnp.any(near & (tl_states == traffic_mod.TL_RED), axis=-1)
+
+  rel_u = wx - state.hero_xy[0]
+  rel_v = wy - state.hero_xy[1]
+  cr, sr = jnp.cos(state.hero_yaw), jnp.sin(state.hero_yaw)
+  hu = cr * rel_u + sr * rel_v
+  hv = -sr * rel_u + cr * rel_v
+  hero = ((jnp.abs(hu) <= params.vehicle.length / 2) &
+          (jnp.abs(hv) <= params.vehicle.width / 2))
+
+  return jnp.stack(
+      [road, lanes, vehicles, pedestrians, green, yellow, red, hero],
+      axis=-1).astype(jnp.int32)

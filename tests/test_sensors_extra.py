@@ -168,3 +168,29 @@ def test_interval_splat_matches_dense():
         lambda s: bev.splat_lidar(params, s, method="dense"))(states)
     diff = np.asarray(fast != dense).mean()
     assert diff < 1e-4, (town_name, diff)
+
+
+def test_full_town_game_state_matches_window_crop():
+  # The whole-town masks (reference GameStateSensor parity) must agree
+  # with the hero-centric window where they overlap.
+  import jax
+  import jax.numpy as jnp
+  from oatomobile_tpu.maps import load_town
+  from oatomobile_tpu.sensors import synth
+  from oatomobile_tpu.sim import init_scene, make_params
+
+  town = load_town("Town02")
+  params = make_params(town)
+  state = init_scene(town, spawn_point=5, destination=60, num_vehicles=6,
+                     jax_seed=3)
+  full = np.asarray(jax.jit(synth.full_town_game_state)(params, state))
+  assert full.shape == town.road_mask.shape + (8,)
+  # Hero channel: exactly one box, centered at the hero.
+  assert full[..., 7].sum() > 0
+  ij = np.argwhere(full[..., 7])
+  center = ij.mean(0) / town.raster_ppm + town.raster_origin
+  np.testing.assert_allclose(center, np.asarray(state.hero_xy), atol=1.0)
+  # Vehicle channel nonzero and disjoint from hero center pixel.
+  assert full[..., 2].sum() > 0
+  # Road mask channel is the static raster itself.
+  np.testing.assert_array_equal(full[..., 0].astype(bool), town.road_mask)
