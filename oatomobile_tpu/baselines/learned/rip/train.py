@@ -50,10 +50,19 @@ def train(
     val_fraction: float = 0.05,
     velocity_dropout: float = VELOCITY_DROPOUT,
     device_data: bool = True,
+    grad_accum: int = 1,
 ):
   """Trains the stacked ensemble; per-epoch held-out val NLL (mean over
   members) selects the ``ensemble-best`` checkpoint.  ``device_data``
-  keeps the packed dataset resident on device (see dim/train.py)."""
+  keeps the packed dataset resident on device (see dim/train.py).
+
+  ``grad_accum``: gradient-accumulation microbatching — each optimiser
+  step averages ``grad_accum`` microbatches of ``batch_size /
+  grad_accum`` samples, numerically the reference's batch-512 Adam step
+  at 1/grad_accum the activation memory.  Needed when a multi-GB
+  device-resident dataset shares HBM with the K-model ensemble's
+  backward pass (measured OOM at K=4, batch 512, 204k resident
+  samples)."""
   os.makedirs(output_dir, exist_ok=True)
   loggers = [TerminalLogger(label="rip"),
              JSONLLogger(os.path.join(output_dir, "logs"), "rip_train")]
@@ -71,6 +80,10 @@ def train(
   stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0),
                          *[init_one(k) for k in range(num_models)])
   tx = optax.adam(learning_rate)
+  if grad_accum > 1:
+    assert batch_size % grad_accum == 0
+    tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+  micro_batch = batch_size // max(grad_accum, 1)
   opt_state = tx.init(stacked)
 
   def loss_fn(stacked_params, batch, rng):
@@ -105,21 +118,21 @@ def train(
     if resident is not None:
       idx = CARLADataset.packed_split_indices(resident_n, split,
                                               val_fraction=val_fraction)
-      return CARLADataset.iter_device_batches(resident, idx, batch_size,
+      return CARLADataset.iter_device_batches(resident, idx, micro_batch,
                                               seed=seed + epoch)
     return CARLADataset.make_loader(
-        dataset_dir, MODALITIES, batch_size=batch_size, seed=seed + epoch,
+        dataset_dir, MODALITIES, batch_size=micro_batch, seed=seed + epoch,
         split=split, val_fraction=val_fraction)
 
   def val_loader():
     if resident is not None:
       idx = CARLADataset.packed_split_indices(resident_n, "val",
                                               val_fraction=val_fraction)
-      return CARLADataset.iter_device_batches(resident, idx, batch_size,
+      return CARLADataset.iter_device_batches(resident, idx, micro_batch,
                                               shuffle=False,
                                               drop_remainder=False)
     return CARLADataset.make_loader(dataset_dir, MODALITIES,
-                                    batch_size=batch_size, split="val",
+                                    batch_size=micro_batch, split="val",
                                     val_fraction=val_fraction)
 
   best_val = float("inf")

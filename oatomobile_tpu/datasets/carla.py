@@ -817,6 +817,7 @@ class CARLADataset(Dataset):
     Returns (dict of device arrays [N, ...], num_samples).
     """
     import jax
+    import jax.numpy as jnp
     import json as _json
     with open(os.path.join(packed_dir, "manifest.json")) as fp:
       manifest = _json.load(fp)
@@ -824,9 +825,25 @@ class CARLADataset(Dataset):
     if modalities is not None:
       keep = set(modalities)
       keys = [k for k in keys if k in keep]
+
+    max_chunk = 1 << 30  # 1 GiB per transfer: multi-GB single buffers
+
+    # exhaust the tunneled transfer path (measured: a 4.1 GB device_put
+    # of the 204k-sample round-3 lidar pack raised ResourceExhausted
+    # where 4 x 1 GiB slices + one on-device concat succeed).
+    def put(path):
+      arr = np.load(path, mmap_mode="r")
+      if arr.nbytes <= max_chunk:
+        return jax.device_put(np.asarray(arr))
+      rows = max(1, max_chunk // max(arr[:1].nbytes, 1))
+      parts = [
+          jax.device_put(np.ascontiguousarray(arr[i:i + rows]))
+          for i in range(0, arr.shape[0], rows)
+      ]
+      return jnp.concatenate(parts, axis=0)
+
     data = {
-        key: jax.device_put(
-            np.load(os.path.join(packed_dir, "{}.npy".format(key))))
+        key: put(os.path.join(packed_dir, "{}.npy".format(key)))
         for key in keys
     }
     return data, manifest["num_samples"]

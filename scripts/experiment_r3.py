@@ -24,6 +24,10 @@ NOISE = float(os.environ.get("RUN_NOISE", 0.2))
 EPOCHS = int(os.environ.get("RUN_EPOCHS", 40))
 BATCH = int(os.environ.get("RUN_BATCH", 512))
 NUM_MODELS = int(os.environ.get("RUN_NUM_MODELS", 4))
+# Microbatching for the ensemble trainer: the 4.3 GB device-resident
+# dataset + K=4 backward at batch 512 exceeds 16 GB HBM; 2x256 is the
+# identical Adam step at half the activation memory.
+ACCUM = int(os.environ.get("RUN_ACCUM", 2))
 EPISODES = int(os.environ.get("RUN_EPISODES", 10))       # CARNOVEL
 CORL_EPISODES = int(os.environ.get("RUN_CORL_EPISODES", 3))
 # (num_vehicles, num_episodes) collection mix, 10x round 2's budget.
@@ -33,10 +37,14 @@ CHUNK = int(os.environ.get("RUN_CHUNK", 128))
 BRIDGE = json.loads(os.environ.get(
     "RUN_BRIDGE",
     '{"use_brake": true, "curvature_slowdown": true, "speed_gain": 1.2}'))
-CARNOVEL_POLICIES = os.environ.get(
-    "RUN_POLICIES", "autopilot,cil,dim,rip_wcm,rip_ma,rip_bcm").split(",")
-CORL_POLICIES = os.environ.get(
-    "RUN_CORL_POLICIES", "autopilot,cil,dim,rip_wcm").split(",")
+CARNOVEL_POLICIES = [p for p in os.environ.get(
+    "RUN_POLICIES",
+    "autopilot,cil,dim,rip_wcm,rip_ma,rip_bcm").split(",") if p]
+CORL_POLICIES = [p for p in os.environ.get(
+    "RUN_CORL_POLICIES", "autopilot,cil,dim,rip_wcm").split(",") if p]
+# Separate tables files let two eval processes run disjoint suites
+# concurrently (remote compiles overlap); post_experiment_r3 merges.
+TABLES = os.environ.get("RUN_TABLES", "tables.json")
 
 T0 = time.time()
 
@@ -80,7 +88,7 @@ def train(packed):
     log("train RIP K={}, {} epochs, batch {}".format(NUM_MODELS, EPOCHS,
                                                      BATCH))
     rip_train(packed, os.path.join(OUT, "rip"), num_models=NUM_MODELS,
-              batch_size=BATCH, num_epochs=EPOCHS)
+              batch_size=BATCH, num_epochs=EPOCHS, grad_accum=ACCUM)
   else:
     log("ensemble-best exists")
 
@@ -152,7 +160,7 @@ def evaluate():
 
   factories = _policies()
   table = {}
-  path = os.path.join(OUT, "tables.json")
+  path = os.path.join(OUT, TABLES)
   if os.path.exists(path):
     table = json.load(open(path))
 

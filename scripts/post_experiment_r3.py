@@ -58,10 +58,15 @@ def render_families(title, per_family):
 
 
 def main():
+  import glob
   os.makedirs(DOCS, exist_ok=True)
-  tables = json.load(open(os.path.join(OUT, "tables.json")))
-  shutil.copy(os.path.join(OUT, "tables.json"),
-              os.path.join(DOCS, "tables.json"))
+  # Merge all tables*.json (split eval processes write separate files).
+  tables = {}
+  for path in sorted(glob.glob(os.path.join(OUT, "tables*.json"))):
+    for suite, rows in json.load(open(path)).items():
+      tables.setdefault(suite, {}).update(rows)
+  with open(os.path.join(DOCS, "tables.json"), "w") as fp:
+    json.dump(tables, fp, indent=2)
 
   for log_name in ("rip/logs/rip_train.jsonl", "cil/logs/cil_train.jsonl"):
     src = os.path.join(OUT, log_name)
