@@ -287,6 +287,62 @@ def intervals_occupancy(mid: jnp.ndarray, half: jnp.ndarray) -> jnp.ndarray:
   return jnp.any(inside, axis=-1)
 
 
+# Row-block culling (see `intervals_occupancy_blocked`): rows per block and
+# the per-block rect budget.  10-row blocks = 5 m of forward extent; the
+# budget is sized from measurement over dense-traffic rollouts (Town02,
+# 100 vehicles, 300 autopilot steps): peak nonempty rects in any block by
+# block size {8: 11, 10: 11, 20: 16, 25: 17, 40: 18, 50: 24} — 10-row
+# blocks peak at 11, 14 covers it with headroom
+# (tests/test_sensors_extra.py::test_blocked_splat_budget_covers_dense_town
+# re-measures the peak and locks it under the budget).
+BLOCK_ROWS = 10
+BLOCK_BUDGET = 14
+
+
+def intervals_occupancy_blocked(mid: jnp.ndarray, half: jnp.ndarray,
+                                block_rows: int = BLOCK_ROWS,
+                                budget: int = BLOCK_BUDGET) -> jnp.ndarray:
+  """Row-block-culled `intervals_occupancy`.
+
+  The per-pixel cost of the interval test is W x R per row; but a rect's
+  column interval is nonempty only on the rows its footprint crosses —
+  for 2-5 m boxes that is a handful of the 200 rows, and even 40 m wall
+  chords cross at most a diagonal band.  Splitting the rows into
+  ``H / block_rows`` blocks and keeping, per block, only the ``budget``
+  rects with the widest interval anywhere in the block cuts the pixel
+  work from W x R to W x budget (R = 48 merged occupied rects ->
+  16: 3x fewer VPU ops) for one cheap [blocks, R] reduce + top_k + two
+  [blocks, rows, budget] gathers.
+
+  Exact (vs `intervals_occupancy`) whenever no block has more than
+  ``budget`` rects with a nonempty interval; beyond that, narrowest
+  intervals drop first.  Budget validated over dense-traffic rollouts by
+  tests/test_sensors_extra.py.
+  """
+  H, R = mid.shape
+  budget = min(budget, R)
+  nb = H // block_rows
+  assert nb * block_rows == H, (H, block_rows)
+  mid_b = mid.reshape(nb, block_rows, R)
+  half_b = half.reshape(nb, block_rows, R)
+  # Relevance of rect r to block b: widest interval on any row (empty
+  # intervals have half < 0).
+  score = jnp.max(half_b, axis=1)                      # [nb, R]
+  _, idx = jax.lax.top_k(score, budget)                # [nb, budget]
+  # Selection as a one-hot matmul, not take_along_axis: the gather would
+  # serialise on the VPU while the [R, budget] one-hot contraction rides
+  # the MXU for free.
+  onehot = (idx[:, None, :] == jnp.arange(R)[None, :, None]).astype(
+      mid.dtype)                                       # [nb, R, budget]
+  sel_mid = jnp.einsum("nbr,nrk->nkb", mid_b, onehot)  # [nb, budget, rows]
+  sel_half = jnp.einsum("nbr,nrk->nkb", half_b, onehot)
+  cj = jnp.asarray(_pixel_centers(), dtype=jnp.float32)
+  # Keep W minor so the lane dimension is 200-wide, not budget-wide.
+  inside = (jnp.abs(cj[None, None, None, :] - sel_mid[:, :, :, None])
+            <= sel_half[:, :, :, None])                # [nb, budget, rows, W]
+  return jnp.any(inside, axis=1).reshape(H, -1)
+
+
 def rects_occupancy_interval(rects: jnp.ndarray,
                              origin_xy: jnp.ndarray,
                              hero_yaw: jnp.ndarray,
@@ -300,17 +356,23 @@ def rects_occupancy_interval(rects: jnp.ndarray,
   return intervals_occupancy(mid, half)
 
 
-def _boxes_occupancy_interval(local_centers_uv, yaw_rel, half_lw,
-                              alive) -> jnp.ndarray:
-  """Interval-form `_boxes_occupancy`: boxes already in hero frame, so
-  origin = 0 and hero axes are the identity."""
+def _box_intervals(local_centers_uv, yaw_rel, half_lw, alive):
+  """Column intervals [H, K] of hero-frame boxes (origin = 0, identity
+  hero axes)."""
   cr, sr = jnp.cos(yaw_rel), jnp.sin(yaw_rel)
   # Dead boxes become empty intervals via negative half-extents.
   half_lw = jnp.where(alive[:, None], half_lw, -1.0)
   rects = jnp.concatenate([local_centers_uv, half_lw,
                            cr[:, None], sr[:, None]], axis=-1)
-  mid, half = rect_column_intervals(rects, jnp.zeros(2, rects.dtype),
-                                    jnp.float32(1.0), jnp.float32(0.0))
+  return rect_column_intervals(rects, jnp.zeros(2, rects.dtype),
+                               jnp.float32(1.0), jnp.float32(0.0))
+
+
+def _boxes_occupancy_interval(local_centers_uv, yaw_rel, half_lw,
+                              alive) -> jnp.ndarray:
+  """Interval-form `_boxes_occupancy`: boxes already in hero frame, so
+  origin = 0 and hero axes are the identity."""
+  mid, half = _box_intervals(local_centers_uv, yaw_rel, half_lw, alive)
   return intervals_occupancy(mid, half)
 
 
@@ -329,13 +391,20 @@ def splat_lidar(params, state, *,
   unbudgeted splat on a 100-vehicle scene in
   tests/test_sensors_extra.py::test_bev_vehicle_budget_vs_unbudgeted.
 
-  ``method``: "interval" (default, ~2.7x fewer VPU ops — see
-  `rect_column_intervals`) or "dense" (the reference half-plane form the
-  Pallas kernel mirrors bit-exactly).  The two agree except at pixels
-  within float rounding of a rect edge.
+  ``method``: "interval" (default: ~2.7x fewer VPU ops than dense — see
+  `rect_column_intervals`), "blocked" (interval + row-block culling of
+  the merged wall/vehicle/pedestrian set, `intervals_occupancy_blocked`
+  — measured SLOWER at the bench scale and declined as default: 147k
+  vs 165k steps/s @1024 Town01 envs, the per-block top_k/selection
+  overhead exceeds the compares it saves at R=32 merged rects) or
+  "dense" (the reference half-plane form the Pallas kernel mirrors
+  bit-exactly).  All agree except at pixels within float rounding of a
+  rect edge, and "blocked" additionally requires the per-block budget to
+  cover the scene (validated in tests/test_sensors_extra.py).
   """
   hero_xy, hero_yaw = state.hero_xy, state.hero_yaw
-  interval = method == "interval"
+  blocked = method == "blocked"
+  interval = method == "interval" or blocked
   if not interval:
     grid_world = _hero_frame_grid(hero_xy, hero_yaw)
 
@@ -351,17 +420,20 @@ def splat_lidar(params, state, *,
   # "solid block interior" complement, but works for curved geometry.
   road_sel = nearest_rects(params.map["road_rects"], hero_xy,
                            min(MAX_BEV_ROADS, params.road_budget))
+  cos_y, sin_y = jnp.cos(hero_yaw), jnp.sin(hero_yaw)
   if interval:
-    buildings = rects_occupancy_interval(wall_sel, hero_xy, hero_yaw)
+    # All "occupied" sources (walls + vehicles + pedestrians) contribute
+    # column intervals to ONE merged [H, R] set so the blocked method
+    # culls across categories in a single pass.
+    ivals = [rect_column_intervals(wall_sel, hero_xy, cos_y, sin_y)]
     open_ground = rects_occupancy_interval(road_sel, hero_xy, hero_yaw,
                                            inflate=_SIDEWALK)
   else:
     buildings = rects_occupancy(grid_world, wall_sel)
     open_ground = rects_occupancy(grid_world, road_sel, inflate=_SIDEWALK)
+    occupied = buildings
 
   # -- Vehicle boxes (nearest MAX_BEV_VEHICLES only). ----------------------
-  occupied = buildings
-  cos_y, sin_y = jnp.cos(hero_yaw), jnp.sin(hero_yaw)
   if state.num_npcs > 0:
     rel = state.npc_xy - hero_xy[None, :]
     sel = _nearest_k(rel, state.npc_alive, max_vehicles)
@@ -376,10 +448,11 @@ def splat_lidar(params, state, *,
         jnp.full(sel.shape, params.vehicle.width / 2.0)
     ], axis=-1)
     in_range = jnp.linalg.norm(rel_sel, axis=-1) < (METERS_MAX * 1.5)
-    box_fn = _boxes_occupancy_interval if interval else _boxes_occupancy
-    vehicles = box_fn(centers, yaw_rel, half,
-                      state.npc_alive[sel] & in_range)
-    occupied = occupied | vehicles
+    alive = state.npc_alive[sel] & in_range
+    if interval:
+      ivals.append(_box_intervals(centers, yaw_rel, half, alive))
+    else:
+      occupied = occupied | _boxes_occupancy(centers, yaw_rel, half, alive)
 
   if state.num_pedestrians > 0:
     rel = state.ped_xy - hero_xy[None, :]
@@ -389,9 +462,18 @@ def splat_lidar(params, state, *,
     v = -sin_y * rel_sel[:, 0] + cos_y * rel_sel[:, 1]
     centers = jnp.stack([u, v], axis=-1)
     half = jnp.full((sel.shape[0], 2), 0.35)
-    box_fn = _boxes_occupancy_interval if interval else _boxes_occupancy
-    peds = box_fn(centers, jnp.zeros_like(u), half, state.ped_alive[sel])
-    occupied = occupied | peds
+    if interval:
+      ivals.append(_box_intervals(centers, jnp.zeros_like(u), half,
+                                  state.ped_alive[sel]))
+    else:
+      occupied = occupied | _boxes_occupancy(centers, jnp.zeros_like(u),
+                                             half, state.ped_alive[sel])
+
+  if interval:
+    mid = jnp.concatenate([m for m, _ in ivals], axis=-1)
+    half = jnp.concatenate([h for _, h in ivals], axis=-1)
+    occ_fn = intervals_occupancy_blocked if blocked else intervals_occupancy
+    occupied = occ_fn(mid, half)
 
   # -- Range-dependent expected hit counts. --------------------------------
   c = jnp.asarray(_pixel_centers(), dtype=jnp.float32)

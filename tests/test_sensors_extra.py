@@ -122,8 +122,12 @@ def test_bev_vehicle_budget_adversarial_bound():
                     npc_yaw=jnp.asarray(
                         rng.uniform(-np.pi, np.pi, 100), jnp.float32))
   budgeted = np.asarray(bev.splat_lidar(env.params, one))
+  # The no-budget reference uses the exact interval method: with 100
+  # boxes stacked into one block, the blocked method's own culling would
+  # make the reference approximate too.
   unbudgeted = np.asarray(
-      bev.splat_lidar(env.params, one, max_vehicles=100))
+      bev.splat_lidar(env.params, one, max_vehicles=100,
+                      method="interval"))
   diff = np.abs(budgeted - unbudgeted)
   assert (diff > 1e-6).mean() < 0.04
   # The error is one-sided: the budget can only *miss* obstacles
@@ -163,11 +167,67 @@ def test_interval_splat_matches_dense():
     actions = jnp.tile(jnp.asarray([0.7, 0.2, 0.0]), (4, 1))
     for _ in range(20):
       states = step(params, states, actions)
-    fast = jax.vmap(lambda s: bev.splat_lidar(params, s))(states)
     dense = jax.vmap(
         lambda s: bev.splat_lidar(params, s, method="dense"))(states)
-    diff = np.asarray(fast != dense).mean()
-    assert diff < 1e-4, (town_name, diff)
+    for method in ("interval", "blocked"):
+      fast = jax.vmap(
+          lambda s: bev.splat_lidar(params, s, method=method))(states)
+      diff = np.asarray(fast != dense).mean()
+      assert diff < 1e-4, (town_name, method, diff)
+
+
+def test_blocked_splat_budget_covers_dense_town():
+  # The row-block budget (bev.BLOCK_BUDGET) must cover the peak number of
+  # rects with a nonempty column interval in any 25-row block, measured
+  # on the densest benchmark-like configuration (Town02, 100 vehicles)
+  # over a rollout — otherwise the blocked method drops occupancy.
+  import jax
+  import jax.numpy as jnp
+  from oatomobile_tpu.maps import load_town
+  from oatomobile_tpu.ops import bev
+  from oatomobile_tpu.sim import (autopilot_policy, init_scene_batch,
+                                  make_params, world_step)
+
+  town = load_town("Town02")
+  params = make_params(town)
+  states = init_scene_batch(town, 8, num_vehicles=100, seed=5)
+
+  def peak_nonempty(state):
+    wall_sel = bev.nearest_rects(
+        params.map["wall_rects"], state.hero_xy,
+        min(bev.MAX_BEV_WALLS, params.wall_budget),
+        max_range=bev.METERS_MAX * 1.04)
+    cos_y, sin_y = jnp.cos(state.hero_yaw), jnp.sin(state.hero_yaw)
+    mid, half = bev.rect_column_intervals(wall_sel, state.hero_xy,
+                                          cos_y, sin_y)
+    rel = state.npc_xy - state.hero_xy[None, :]
+    sel = bev._nearest_k(rel, state.npc_alive, bev.MAX_BEV_VEHICLES)
+    rel_sel = rel[sel]
+    u = cos_y * rel_sel[:, 0] + sin_y * rel_sel[:, 1]
+    v = -sin_y * rel_sel[:, 0] + cos_y * rel_sel[:, 1]
+    half_lw = jnp.stack([
+        jnp.full(sel.shape, params.vehicle.length / 2.0),
+        jnp.full(sel.shape, params.vehicle.width / 2.0)], axis=-1)
+    in_range = jnp.linalg.norm(rel_sel, axis=-1) < (bev.METERS_MAX * 1.5)
+    bm, bh = bev._box_intervals(jnp.stack([u, v], -1),
+                                state.npc_yaw[sel] - state.hero_yaw,
+                                half_lw, state.npc_alive[sel] & in_range)
+    half_all = jnp.concatenate([half, bh], -1)   # [H, R]
+    nonempty = (half_all >= 0.0).reshape(
+        half_all.shape[0] // bev.BLOCK_ROWS, bev.BLOCK_ROWS, -1)
+    return jnp.max(jnp.sum(jnp.any(nonempty, axis=1), axis=-1))
+
+  def policy(s):
+    return autopilot_policy(params, s, noise=0.0)
+
+  step = jax.jit(jax.vmap(
+      lambda s: world_step(params, s, policy(s)[0])))
+  peak = 0
+  for t in range(120):
+    states = step(states)
+    if t % 10 == 0:
+      peak = max(peak, int(jnp.max(jax.vmap(peak_nonempty)(states))))
+  assert peak <= bev.BLOCK_BUDGET, peak
 
 
 def test_full_town_game_state_matches_window_crop():
