@@ -127,6 +127,23 @@ class TownMap:
       cur = self.wp_next[safe, 0].astype(np.int64)
     return bend.astype(np.float32)
 
+  def wp_path_xy(self, length: int = 6) -> np.ndarray:
+    """[W, length, 2] f32: positions of the next-``length``
+    first-successor chain starting AT each waypoint.  Static per map —
+    the NPC path-aware blocking check (sim/traffic.py) reads the whole
+    upcoming-lane corridor with ONE gather instead of walking
+    wp_next/wp_xy ``length`` dependent times per vehicle per step (the
+    same trick as `wp_bend`).  Missing successors repeat the last valid
+    position (a harmless duplicate point)."""
+    W = self.wp_xy.shape[0]
+    out = np.zeros((W, length, 2), np.float32)
+    cur = np.arange(W, dtype=np.int64)
+    for i in range(length):
+      safe = np.maximum(cur, 0)
+      out[:, i] = self.wp_xy[safe]
+      cur = np.where(cur >= 0, self.wp_next[safe, 0].astype(np.int64), cur)
+    return out
+
   def device_arrays(self) -> dict:
     """Returns (and caches) the jnp pytree of map arrays used in-graph."""
     if self._device is None:
@@ -135,6 +152,7 @@ class TownMap:
           wp_xy=jnp.asarray(self.wp_xy, dtype=jnp.float32),
           wp_yaw=jnp.asarray(self.wp_yaw, dtype=jnp.float32),
           wp_bend=jnp.asarray(self.wp_bend(), dtype=jnp.float32),
+          wp_path_xy=jnp.asarray(self.wp_path_xy(), dtype=jnp.float32),
           wp_next=jnp.asarray(self.wp_next, dtype=jnp.int32),
           wp_num_next=jnp.asarray(self.wp_num_next, dtype=jnp.int32),
           wp_road_id=jnp.asarray(self.wp_road_id, dtype=jnp.int32),

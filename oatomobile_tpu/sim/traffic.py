@@ -161,15 +161,14 @@ def npc_step(params: WorldParams, state: SceneState,
   # each NPC checks other vehicles against its actual upcoming LANE
   # waypoints (~12 m ahead along wp_next).  A vehicle within 2.2 m of any
   # of those centerline points is physically on the path.
-  path = wp
-  path_hits = []
+  # The chain of upcoming lane points is static per map and precomputed
+  # (maps/assets.py wp_path_xy): ONE [K, L, 2] gather replaces
+  # PATH_LOOKAHEAD dependent wp_next/wp_xy walks per vehicle per step.
   dist_all = jnp.linalg.norm(rel, axis=-1)  # [K, K+1]
-  for _ in range(PATH_LOOKAHEAD):
-    p_xy = params.map["wp_xy"][path]                     # [K, 2]
-    d = jnp.linalg.norm(other_xy[None, :, :] - p_xy[:, None, :], axis=-1)
-    path_hits.append(d < 2.2)
-    path = params.map["wp_next"][path, 0]
-  on_my_path = jnp.stack(path_hits, axis=0).any(axis=0)  # [K, K+1]
+  p_xy = params.map["wp_path_xy"][wp]                    # [K, L, 2]
+  d = jnp.linalg.norm(other_xy[None, None, :, :] - p_xy[:, :, None, :],
+                      axis=-1)                           # [K, L, K+1]
+  on_my_path = jnp.any(d < 2.2, axis=1)                  # [K, K+1]
   on_my_path = on_my_path & (fwd_now > -1.0)             # not behind me
 
   # Right of way: the hero first, then lower slot index.  A MOVING or
