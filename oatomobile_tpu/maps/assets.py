@@ -144,6 +144,22 @@ class TownMap:
       cur = np.where(cur >= 0, self.wp_next[safe, 0].astype(np.int64), cur)
     return out
 
+  def wp_path_junction(self, length: int = 6) -> np.ndarray:
+    """[W, length] bool: junction flag of the next-``length``
+    first-successor chain starting AT each waypoint (companion to
+    `wp_path_xy`).  Lets a vehicle see 'the box is on my path' one
+    gather before entering — the don't-block-the-box gate
+    (sim/traffic.py) holds it outside while its path through the
+    junction is occupied."""
+    W = self.wp_xy.shape[0]
+    out = np.zeros((W, length), bool)
+    cur = np.arange(W, dtype=np.int64)
+    for i in range(length):
+      safe = np.maximum(cur, 0)
+      out[:, i] = self.wp_is_junction[safe]
+      cur = np.where(cur >= 0, self.wp_next[safe, 0].astype(np.int64), cur)
+    return out
+
   def device_arrays(self) -> dict:
     """Returns (and caches) the jnp pytree of map arrays used in-graph."""
     if self._device is None:
@@ -153,6 +169,7 @@ class TownMap:
           wp_yaw=jnp.asarray(self.wp_yaw, dtype=jnp.float32),
           wp_bend=jnp.asarray(self.wp_bend(), dtype=jnp.float32),
           wp_path_xy=jnp.asarray(self.wp_path_xy(), dtype=jnp.float32),
+          wp_path_junction=jnp.asarray(self.wp_path_junction()),
           wp_next=jnp.asarray(self.wp_next, dtype=jnp.int32),
           wp_num_next=jnp.asarray(self.wp_num_next, dtype=jnp.int32),
           wp_road_id=jnp.asarray(self.wp_road_id, dtype=jnp.int32),

@@ -169,6 +169,21 @@ def npc_step(params: WorldParams, state: SceneState,
   d = jnp.linalg.norm(other_xy[None, None, :, :] - p_xy[:, :, None, :],
                       axis=-1)                           # [K, L, K+1]
   on_my_path = jnp.any(d < 2.2, axis=1)                  # [K, K+1]
+  # Hero column, exact: distance from my path centerline to the hero's
+  # RECTANGLE, not its center.  A hero stopped perpendicular-ish at a
+  # junction mouth extends ~2.4 m from its center; the 2.2 m center test
+  # leaves its corners invisible, measured as the dominant CoRL2017
+  # collision (turning NPC sweeps into the stationary hero's front corner).
+  # Point-to-OBB over [K, L] only — the NPC-NPC columns keep the cheap
+  # center test.
+  rel_h = p_xy - state.hero_xy[None, None, :]            # [K, L, 2]
+  ch, sh = jnp.cos(state.hero_yaw), jnp.sin(state.hero_yaw)
+  hx = ch * rel_h[..., 0] + sh * rel_h[..., 1]
+  hy = -sh * rel_h[..., 0] + ch * rel_h[..., 1]
+  dxh = jnp.maximum(jnp.abs(hx) - params.vehicle.length / 2.0, 0.0)
+  dyh = jnp.maximum(jnp.abs(hy) - params.vehicle.width / 2.0, 0.0)
+  hero_on_path = jnp.any(jnp.hypot(dxh, dyh) < 1.6, axis=1)  # [K]
+  on_my_path = on_my_path.at[:, K].max(hero_on_path)
   on_my_path = on_my_path & (fwd_now > -1.0)             # not behind me
 
   # Right of way: the hero first, then lower slot index.  A MOVING or
@@ -200,8 +215,44 @@ def npc_step(params: WorldParams, state: SceneState,
   intercept = ((fwd_fut > 0.5) & (fwd_fut < prox) &
                (jnp.abs(lat_fut) < 2.0 + 0.15 * fwd_fut) & moving_j)
   blocked_fut = intercept & ~oncoming_passer & (same_dir | has_priority)
-  blocked = jnp.any((blocked_now | blocked_fut) & other_alive[None, :] &
-                    not_self, axis=-1)
+  # Graded car-following: a MOVING or predicted-crossing body on my path
+  # is a hard stop, but a STOPPED one is a queue to close up on under a
+  # brake-when-needed rule: full brake exactly while current speed
+  # exceeds the braking envelope v^2 > 2 a (d - 6) toward a stop point
+  # 6 m center-to-center (~1 m bumper gap) behind the blocker, and
+  # always inside 6 m.  Speed-CAP variants (linear taper, envelope as
+  # target) were measured to rear-end hazard-braking heroes — the
+  # proportional controller rides ~2 m/s above any cap it tracks, so the
+  # brake decision must compare against CURRENT speed, with target 0 and
+  # therefore full P authority.  Binary path-stops (the previous rule)
+  # left every queue slot ~12 m long and cost hero episodes ~450 of 1500
+  # steps parked behind sparse stop-and-go queues.
+  valid = other_alive[None, :] & not_self
+  # Same-direction MOVERS on my path are a platoon to follow under the
+  # envelope, exactly like stopped queues — a binary stop behind a
+  # crawling leader turns every slow platoon into stop-and-go (the
+  # Town02@100 census: 261 of 528 stalled NPCs were hard-stopped behind
+  # a mover, most of them same-direction).  Crossing/oncoming movers and
+  # predicted intercepts remain hard stops: they clear on their own.
+  cross_mover = on_my_path & moving_j & ~same_dir & valid
+  follow_target = (blocked_now & ~moving_j & valid) | \
+      (on_my_path & moving_j & same_dir & valid)
+  hard = jnp.any(cross_mover | (blocked_fut & valid), axis=-1)
+  d_q = jnp.min(jnp.where(follow_target, dist_all, 1e9), axis=-1)
+  queue_stop = (speed * speed > 2.0 * 2.0 * jnp.maximum(d_q - 6.0, 0.0)) | \
+      (d_q < 6.0)
+  # Don't block the box: while still OUTSIDE a junction whose interior is
+  # on my path, hold at the entry whenever a STOPPED body sits anywhere
+  # on that path — stopping 6 m short of it (the queue rule) would park
+  # me INSIDE the box across crossing lanes.  Traced on Town02@100
+  # vehicles: 434 of 542 stalled NPCs sat in mutual blocking CYCLES
+  # seeded by box-parked vehicles; gating entry prevents the knots from
+  # forming.
+  at_junction = params.map["wp_is_junction"][wp]
+  box_ahead = jnp.any(params.map["wp_path_junction"][wp], axis=-1)
+  stopped_on_path = jnp.any(on_my_path & ~moving_j & valid, axis=-1)
+  box_hold = ~at_junction & box_ahead & stopped_on_path
+  blocked = hard | queue_stop | box_hold
 
   governed, tl_state = light_for_waypoint(params, wp, tl_states)
   red = governed & (tl_state != TL_GREEN)

@@ -101,8 +101,12 @@ def test_constant_radius_turn_matches_steering_geometry():
 
 
 def test_autopilot_cruise_tracks_target_speed():
-  # Closed-loop autopilot on a long straight holds the reference's
-  # 20 km/h TARGET_SPEED (5.56 m/s) within 10% on cruise segments.
+  # Closed-loop autopilot on a long empty straight runs the targeted
+  # fast cruise (30 km/h = 8.33 m/s, sim/autopilot.py) on clear
+  # junction-free segments, within 10%, and never exceeds it.  The
+  # reference's blanket 20 km/h TARGET_SPEED remains the cap near
+  # junctions/bends/traffic — covered by the capped-speed assertion and
+  # the traffic suites.
   from oatomobile_tpu.maps import load_town
   from oatomobile_tpu.sim import autopilot_policy, init_scene, make_params, \
       world_step
@@ -123,6 +127,8 @@ def test_autopilot_cruise_tracks_target_speed():
   _, speeds = run(state)
   speeds = np.asarray(speeds)
   # Post-rampup cruise segments (ignore stops at lights/turns): the
-  # top-quartile speed should sit within 10% of the target.
+  # top-quartile speed should sit within 10% of the fast-cruise target.
   cruise = np.quantile(speeds[100:], 0.75)
-  assert 5.0 < cruise < 6.1, cruise
+  assert 7.5 < cruise < 9.2, cruise
+  # Transient PID overshoot on the 0 -> 8.3 m/s ramp stays bounded.
+  assert speeds.max() < 10.0, speeds.max()
