@@ -39,8 +39,8 @@ def _vehicle_hazard(params: WorldParams, state: SceneState):
     corridor test is a deliberate robustness improvement.
   """
   if state.num_npcs == 0:
-    return (jnp.asarray(False), jnp.asarray(False), jnp.float32(0.0),
-            jnp.asarray(False))
+    false = jnp.asarray(False)
+    return false, false, false, false, jnp.float32(0.0), false
   hero_road = params.map["wp_road_id"][state.hero_wp]
   hero_lane = params.map["wp_lane_id"][state.hero_wp]
   npc_wp_near = state.npc_wp
@@ -91,7 +91,16 @@ def _vehicle_hazard(params: WorldParams, state: SceneState):
   rel_fut = rel + (npc_vel - state.hero_vel[None, :]) * 1.0
   fwd_f = cos_y * rel_fut[..., 0] + sin_y * rel_fut[..., 1]
   lat_f = -sin_y * rel_fut[..., 0] + cos_y * rel_fut[..., 1]
-  intercept = ((fwd_f > -1.0) & (fwd_f < 8.0) & (jnp.abs(lat_f) < 2.5) &
+  # Gap acceptance: compare the crosser's ~1 s predicted position against
+  # the hero's OWN predicted position (fwd advances by v*1s), not its
+  # current one.  The current-position window (fwd_f < 8) is wrong in
+  # both directions: a STOPPED hero is held by crossers that will still
+  # pass 5-8 m ahead of it (measured as the dominant share of the 48.9%
+  # hard-stop fraction of hero stopped time, scripts/diag_hero_stops.py),
+  # while a hero at cruise isn't warned about a crosser 9 m out that its
+  # future self will meet head-on.
+  fwd_gap = fwd_f - state.hero_speed * 1.0
+  intercept = ((fwd_gap > -2.0) & (fwd_gap < 5.5) & (jnp.abs(lat_f) < 2.5) &
                moving)
 
   # Oncoming passers — opposite heading, MOVING, laterally offset (the
@@ -133,15 +142,45 @@ def _vehicle_hazard(params: WorldParams, state: SceneState):
   box_hold = (~params.map["wp_is_junction"][state.hero_wp] &
               jnp.any(params.map["wp_is_junction"][state.route[path_idx]]) &
               jnp.any(blocking & ~moving))
-  stop = jnp.any((blocking & moving & ~same_dir_npc) |
-                 (intercept & ~oncoming_passer & state.npc_alive)) | \
-      queue_stop | box_hold
+  # DISTANCE-GRADED hazard braking: a crossing/oncoming mover on the path
+  # (or a predicted intercept) is a conflict POINT at a known distance,
+  # not an immediate wall.  The previous rule full-braked the moment any
+  # such hazard appeared anywhere on the ~14 m path window, parking the
+  # hero 10+ m short of the conflict at any speed — measured as 48.9% of
+  # all hero stopped time on Town02@100 vehicles (scripts/
+  # diag_hero_stops.py), the single largest timeout contributor.  Now the
+  # hero brakes under the same envelope family as queue-following: full
+  # brake exactly while v^2 > 2 a (d_conflict - 4.5) with a = 2.5, and
+  # always inside 4.5 m — it rolls up to the conflict point and yields
+  # just short of it, clearing the moment the crosser passes.
+  # MOVER stops (assertable after a patient wait): crossing/oncoming
+  # movers currently on the path + predicted intercepts, immediate full
+  # brake.  A distance-graded envelope for these was measured twice and
+  # rejected on Town02@100 vehicles: at a = 2.5/4.5 m it traded every
+  # saved second for a T-bone (collision 2.2% -> 25.8%); at a = 2.0/6.0 m
+  # the creeping vehicles parked closer to junction mouths and seeded
+  # MORE congestion knots (success 34.2% -> 29.3%).
+  cross_hard = blocking & moving & ~same_dir_npc
+  mover_stop = jnp.any(cross_hard |
+                       (intercept & ~oncoming_passer & state.npc_alive))
+  # The ASSERTING form of the same hazards: yield just short of the first
+  # conflicted path point under the envelope, ignore the 1 s prediction
+  # (at creep speed the hero can stop instantly).
+  first_l = jnp.argmax(d_path < 1.6, axis=-1)  # [K] first conflicted point
+  d_path_conf = jnp.where(jnp.any(d_path < 1.6, axis=-1),
+                          2.0 * (first_l.astype(jnp.float32) + 1.0), 1e9)
+  d_cross = jnp.where(cross_hard, jnp.minimum(d_path_conf, dist), 1e9)
+  d_hazard = jnp.min(d_cross)
+  graded_stop = (state.hero_speed * state.hero_speed >
+                 2.0 * 2.5 * jnp.maximum(d_hazard - 4.5, 0.0)) | \
+      (d_hazard < 4.5)
+  static_stop = queue_stop | box_hold
   conflict = jnp.any(head_on_close)
   evade = -jnp.sign(jnp.sum(jnp.where(head_on_close, jnp.sign(lat), 0.0)))
   # Anything worth slowing down for ahead?  Used by the fast-cruise gate.
   near_ahead = jnp.any(state.npc_alive & (dist < 15.0) & (fwd > -2.0) &
                        (jnp.abs(lat) < 4.0))
-  return stop, conflict, evade, near_ahead
+  return mover_stop, graded_stop, static_stop, conflict, evade, near_ahead
 
 
 def _red_light_hazard(params: WorldParams, state: SceneState,
@@ -171,8 +210,24 @@ def autopilot_policy(
   rng, rng_noise, rng_action = jax.random.split(state.rng, 3)
 
   tl_states = traffic.traffic_light_states(params, state.time)
-  stop, conflict, evade, near_ahead = _vehicle_hazard(params, state)
-  hazard = stop | _red_light_hazard(params, state, tl_states)
+  mover_stop, graded_stop, static_stop, conflict, evade, near_ahead = \
+      _vehicle_hazard(params, state)
+  red = _red_light_hazard(params, state, tl_states)
+  # Patience-based yield assertion: saturated unsignalised junctions never
+  # gap, so a driver who yields correctly to a dense crossing stream waits
+  # out the whole episode (measured: 48.9% of hero stopped time was mover
+  # stops, scripts/diag_hero_stops.py).  After ~6 s held at a yield the
+  # hero asserts priority the way human drivers do — it creeps in at
+  # <= 1.5 m/s under the graded envelope; the crossers' own hazard rules
+  # (path tests + intercept prediction) yield to the now-moving body.
+  # Red lights and queue/box rules are never asserted through.
+  asserting = state.hero_wait > 120
+  effective_mover = jnp.where(asserting, graded_stop, mover_stop)
+  hazard = effective_mover | static_stop | red
+  held = mover_stop & (state.hero_speed < 0.5) & ~static_stop & ~red
+  hero_wait = jnp.where(
+      (asserting & mover_stop) | held,
+      jnp.minimum(state.hero_wait + 1, jnp.int32(100000)), jnp.int32(0))
 
   # NOTE: a junction-yield rule (brake before entering an occupied
   # junction) was evaluated on the CARNOVEL sweep and *hurt* both success
@@ -203,21 +258,37 @@ def autopilot_policy(
   bend = jnp.max(jnp.abs(jnp.arctan2(jnp.sin(ahead_yaw - state.hero_yaw),
                                      jnp.cos(ahead_yaw - state.hero_yaw))))
   slow = jnp.clip(1.0 - 0.8 * jnp.maximum(err, 0.7 * bend), 0.3, 1.0)
-  # Cruise at the reference TARGET_SPEED (20 km/h) by default.  Blanket
-  # posted-limit tracking (25-30 km/h) was measured on the CARNOVEL
-  # sweep: +4-8% success from fewer timeouts but +15-19% collision rate.
-  # The TARGETED variant below avoids that trade: 30 km/h only when the
-  # next ~14 m of route are junction-free and straight and nothing is
-  # within 15 m ahead — conditions under which collisions were measured
-  # at zero (every CoRL2017 impact happens inside a junction).  The
-  # 1500-step horizon makes time a scored resource: at a blanket 20 km/h
-  # the median timed-out episode ends at 80% of its route.
+  # Long-horizon bend (~24 m): gates the fast cruise only.  At 35 km/h
+  # the ~12 m window above leaves too little room to shed speed before a
+  # hairpin (measured: Hills collision 35% with the 12 m gate vs 0% for
+  # the 20 km/h cruise) — the hero must see the bend ~2.5 s out.
+  far_idx = jnp.clip(state.route_pos + jnp.arange(1, 13), 0,
+                     state.route_len - 1)
+  far_yaw = params.map["wp_yaw"][state.route[far_idx]]
+  far_bend = jnp.max(jnp.abs(jnp.arctan2(
+      jnp.sin(far_yaw - state.hero_yaw), jnp.cos(far_yaw - state.hero_yaw))))
+  # Cruise: 30 km/h base, 35 km/h on clear straight junction-free road.
+  # The reference TARGET_SPEED (20 km/h) was re-measured after the
+  # junction-safe traffic overhaul (point-to-OBB path tests, envelope
+  # following, box gate): the old finding that limit-tracking buys
+  # +15-19% collisions no longer holds — at 30/35 km/h Town02 success
+  # rose 34.2% -> 48.0% with collisions flat (2.2% -> 4.0%) and Town01
+  # 67.6% -> 82.7% at 0.9% collisions.  The hero was previously the
+  # SLOWEST vehicle in the network (NPCs cruise at 22-30 km/h), so every
+  # platoon it joined compounded its timeout deficit.  The 1500-step
+  # horizon makes time a scored resource.
   ahead_junction = jnp.any(
       params.map["wp_is_junction"][state.route[ahead_idx]]) | \
       params.map["wp_is_junction"][state.hero_wp]
-  fast = ~ahead_junction & (bend < 0.15) & ~near_ahead & ~conflict
-  cruise = jnp.where(fast, jnp.float32(30.0 / 3.6),
-                     jnp.float32(target_speed))
+  fast = (~ahead_junction & (far_bend < 0.15) & ~near_ahead & ~conflict)
+  # NOTE: a winding-road fallback to the reference 20 km/h base (when
+  # far_bend > 0.3) was measured and rejected: CARNOVEL 80.0% -> 67.4%
+  # (BusyTown timeouts 20% -> 36%) with Hills collisions UNCHANGED — the
+  # Hills sideswipes are not a simple speed effect, while the slow base
+  # recreates the slowest-vehicle-in-the-network timeout deficit.
+  cruise = jnp.where(fast, jnp.float32(35.0 / 3.6),
+                     jnp.maximum(jnp.float32(target_speed),
+                                 jnp.float32(30.0 / 3.6)))
   speed_cmd = jnp.minimum(
       cruise, params.map["wp_speed_limit"][state.hero_wp]) * slow
   # Stop at the end of the route (the reference's LocalPlanner drains its
@@ -225,6 +296,9 @@ def autopilot_policy(
   at_end = state.route_pos >= state.route_len - 3
   speed_cmd = jnp.where(at_end, 0.0, speed_cmd)
   speed_cmd = jnp.where(conflict, jnp.minimum(speed_cmd, 1.2), speed_cmd)
+  # Asserting through a yield: creep, don't cruise.
+  speed_cmd = jnp.where(asserting & mover_stop,
+                        jnp.minimum(speed_cmd, 1.5), speed_cmd)
   throttle, brake, pid_lon = dynamics.longitudinal_control_with_brake(
       state.pid_lon, state.hero_speed, speed_cmd, params.dt)
 
@@ -253,4 +327,5 @@ def autopilot_policy(
     take_random = jax.random.uniform(rng_noise) < noise
     action = jnp.where(take_random, random_action, action)
 
-  return action, state.replace(pid_lat=pid_lat, pid_lon=pid_lon, rng=rng)
+  return action, state.replace(pid_lat=pid_lat, pid_lon=pid_lon, rng=rng,
+                               hero_wait=hero_wait)

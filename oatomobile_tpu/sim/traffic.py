@@ -211,9 +211,15 @@ def npc_step(params: WorldParams, state: SceneState,
   same_dir = cos_rel > 0.5
   oncoming_passer = ((cos_rel < -0.5) & moving_j &
                      (jnp.abs(lat_now) > 1.2) & (jnp.abs(lat_fut) > 1.0))
-  prox = params.proximity_vehicle_threshold
-  intercept = ((fwd_fut > 0.5) & (fwd_fut < prox) &
-               (jnp.abs(lat_fut) < 2.0 + 0.15 * fwd_fut) & moving_j)
+  # Gap acceptance (mirrors sim/autopilot.py): the crosser's ~1 s
+  # predicted position is compared against MY predicted position (fwd
+  # advances by speed*1s) — a stopped NPC is not held by crossers that
+  # will pass well ahead of it, and a moving one is warned about the
+  # conflict its future self will actually meet.
+  fwd_gap = fwd_fut - speed[:, None] * 1.0
+  intercept = ((fwd_gap > -2.0) & (fwd_gap < 5.5) &
+               (jnp.abs(lat_fut) < 2.0 + 0.15 * jnp.maximum(fwd_fut, 0.0)) &
+               moving_j)
   blocked_fut = intercept & ~oncoming_passer & (same_dir | has_priority)
   # Graded car-following: a MOVING or predicted-crossing body on my path
   # is a hard stop, but a STOPPED one is a queue to close up on under a
@@ -237,10 +243,24 @@ def npc_step(params: WorldParams, state: SceneState,
   cross_mover = on_my_path & moving_j & ~same_dir & valid
   follow_target = (blocked_now & ~moving_j & valid) | \
       (on_my_path & moving_j & same_dir & valid)
-  hard = jnp.any(cross_mover | (blocked_fut & valid), axis=-1)
   d_q = jnp.min(jnp.where(follow_target, dist_all, 1e9), axis=-1)
   queue_stop = (speed * speed > 2.0 * 2.0 * jnp.maximum(d_q - 6.0, 0.0)) | \
       (d_q < 6.0)
+  # MOVER stops (assertable after a patient wait, mirrors
+  # sim/autopilot.py): crossing movers on the path + predicted
+  # intercepts, immediate full brake.  The asserting form yields just
+  # short of the first conflicted path point under a graded envelope at
+  # creep speed; distance-graded braking WITHOUT the creep cap was
+  # measured twice and rejected (T-bones / junction-mouth knots).
+  mover_hard = jnp.any(cross_mover | (blocked_fut & valid), axis=-1)
+  first_l = jnp.argmax(d < 2.2, axis=1)                  # [K, K+1]
+  d_conf = jnp.where(jnp.any(d < 2.2, axis=1),
+                     2.0 * (first_l.astype(jnp.float32) + 1.0), 1e9)
+  d_cross = jnp.where(cross_mover, jnp.minimum(d_conf, dist_all), 1e9)
+  d_hazard = jnp.min(d_cross, axis=-1)                   # [K]
+  graded_hard = (speed * speed >
+                 2.0 * 2.5 * jnp.maximum(d_hazard - 4.5, 0.0)) | \
+      (d_hazard < 4.5)
   # Don't block the box: while still OUTSIDE a junction whose interior is
   # on my path, hold at the entry whenever a STOPPED body sits anywhere
   # on that path — stopping 6 m short of it (the queue rule) would park
@@ -252,10 +272,26 @@ def npc_step(params: WorldParams, state: SceneState,
   box_ahead = jnp.any(params.map["wp_path_junction"][wp], axis=-1)
   stopped_on_path = jnp.any(on_my_path & ~moving_j & valid, axis=-1)
   box_hold = ~at_junction & box_ahead & stopped_on_path
-  blocked = hard | queue_stop | box_hold
 
   governed, tl_state = light_for_waypoint(params, wp, tl_states)
   red = governed & (tl_state != TL_GREEN)
+
+  # Patience-based yield assertion (mirrors sim/autopilot.py): after
+  # ~6-9 s held at a yield by moving cross traffic, creep in at
+  # <= 1.5 m/s under the graded envelope — the crossers' own hazard
+  # rules yield to the now-moving body.  Thresholds are staggered per
+  # slot (golden-ratio stride) so whole queues don't assert in lockstep.
+  # Red lights and queue/box rules are never asserted through.
+  static_stop = queue_stop | box_hold
+  patience = (120.0 + 60.0 * jnp.mod(
+      jnp.arange(K, dtype=jnp.float32) * 0.618034, 1.0)).astype(jnp.int32)
+  asserting = state.npc_wait > patience
+  effective_hard = jnp.where(asserting, graded_hard, mover_hard)
+  blocked = effective_hard | static_stop
+  held = mover_hard & (speed < 0.5) & ~static_stop & ~red
+  npc_wait = jnp.where(
+      (asserting & mover_hard) | held,
+      jnp.minimum(state.npc_wait + 1, jnp.int32(100000)), jnp.int32(0))
 
   conflict = jnp.any(head_on_close, axis=-1)
   evade = -jnp.sign(jnp.sum(jnp.where(head_on_close, jnp.sign(lat_now), 0.0),
@@ -263,7 +299,8 @@ def npc_step(params: WorldParams, state: SceneState,
   steer = jnp.clip(steer + jnp.where(conflict, 0.6 * evade, 0.0), -1.0, 1.0)
   target_speed = jnp.where(
       blocked | red, 0.0,
-      jnp.where(conflict, jnp.minimum(target_speed, 1.5), target_speed))
+      jnp.where(conflict | (asserting & mover_hard),
+                jnp.minimum(target_speed, 1.5), target_speed))
 
   # 4. Proportional accel -> pseudo throttle/brake -> bicycle step.
   accel_cmd = jnp.clip(1.2 * (target_speed - speed), -params.vehicle.max_brake,
@@ -278,7 +315,7 @@ def npc_step(params: WorldParams, state: SceneState,
   new_yaw = jnp.where(alive, new_yaw, yaw)
   new_speed = jnp.where(alive, new_speed, 0.0)
   return state.replace(npc_xy=new_xy, npc_yaw=new_yaw, npc_speed=new_speed,
-                       npc_wp=wp)
+                       npc_wp=wp, npc_wait=npc_wait)
 
 
 def pedestrian_step(params: WorldParams, state: SceneState,

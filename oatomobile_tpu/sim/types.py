@@ -133,6 +133,14 @@ class SceneState:
   red_light_invasion: jnp.ndarray  # [] i32 ran-a-red events this step
   at_red_prev: jnp.ndarray    # [] bool hero was held at a red last step
 
+  # --- Driver patience (yield-assertion counters) -------------------------
+  # Consecutive steps a driver has been held at a yield by MOVING cross
+  # traffic; past a threshold the driver asserts priority and creeps in
+  # (sim/autopilot.py / sim/traffic.py).  Saturated unsignalised junctions
+  # otherwise never gap and correct yielding degenerates to a timeout.
+  hero_wait: jnp.ndarray      # [] i32
+  npc_wait: jnp.ndarray       # [K] i32
+
   # --- Agent-side controller state (autopilot / setpoint PID) -----------
   pid_lat: PIDState
   pid_lon: PIDState

@@ -234,6 +234,8 @@ def init_scene(
       off_lane_prev=jnp.asarray(False),
       red_light_invasion=jnp.int32(0),
       at_red_prev=jnp.asarray(False),
+      hero_wait=jnp.int32(0),
+      npc_wait=jnp.zeros((K,), jnp.int32),
       pid_lat=PIDState.zero(),
       pid_lon=PIDState.zero(),
       rng=jax.random.PRNGKey(jax_seed),
@@ -354,6 +356,8 @@ def init_scene_batch(
       off_lane_prev=jnp.zeros((B,), bool),
       red_light_invasion=jnp.zeros((B,), jnp.int32),
       at_red_prev=jnp.zeros((B,), bool),
+      hero_wait=jnp.zeros((B,), jnp.int32),
+      npc_wait=jnp.zeros((B, K), jnp.int32),
       pid_lat=PIDState.zero_batch(B),
       pid_lon=PIDState.zero_batch(B),
       rng=keys,
