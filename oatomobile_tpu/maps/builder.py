@@ -498,6 +498,28 @@ def build_town(name: str, spec: NetworkSpec) -> TownMap:
     unset = wp_next[:, k] < 0
     wp_next[unset, k] = wp_next[unset, 0]
 
+  # NPC-restriction upstream closure: a waypoint ALL of whose real
+  # successors are restricted is itself restricted (to fixpoint).  The
+  # NPC branch re-pick (sim/traffic.py) can only divert where an
+  # allowed branch EXISTS; without this closure the committed approach
+  # chain of a restricted pass stays "allowed", its entry waypoint has
+  # no legal branch, and the never-strand fallback funnels NPCs onto
+  # the pass anyway (measured: 100-vehicle Hills episodes put NPCs on
+  # the Town03 serpentine, meeting the hero head-on at hairpin apexes
+  # where the opposing lanes are < 3 m apart — scripts/diag_hills.py).
+  for _ in range(W):
+    succ_ok = np.zeros(W, bool)
+    for k in range(MAX_NEXT):
+      valid = k < wp_num_next
+      succ_ok |= valid & wp_npc_ok[wp_next[:, k]] & (
+          wp_next[:, k] != np.arange(W))
+    # Terminal self-loops keep their own flag.
+    self_loop = wp_next[:, 0] == np.arange(W)
+    new_ok = wp_npc_ok & (succ_ok | self_loop)
+    if (new_ok == wp_npc_ok).all():
+      break
+    wp_npc_ok = new_ok
+
   # Traffic light governance: the last ~5 m of each governed approach.
   wp_tl = np.full(W, -1, dtype=np.int32)
   governed_span = int(round(5.0 / WAYPOINT_SPACING)) + 1
