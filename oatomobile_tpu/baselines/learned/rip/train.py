@@ -135,10 +135,33 @@ def train(
                                     batch_size=micro_batch, split="val",
                                     val_fraction=val_fraction)
 
+  # Resume from the newest periodic checkpoint if one exists (tunneled
+  # TPU links can stall mid-run; losing 35 of 40 ensemble epochs to a
+  # dead connection is not acceptable).  The Adam state restarts fresh
+  # -- a brief transient -- and best_val is recovered from the JSONL
+  # training log so a post-resume epoch cannot demote the saved
+  # ``ensemble-best``.
   best_val = float("inf")
+  start_epoch = 0
+  last = checkpointer.latest_epoch()
+  if last is not None:
+    stacked = jax.device_put(checkpointer.load(last, jax.device_get(stacked)))
+    start_epoch = last + 1
+    import glob as _glob
+    import json as _json
+    for log_path in _glob.glob(os.path.join(output_dir, "logs", "*.jsonl")):
+      with open(log_path) as fp:
+        for line in fp:
+          try:
+            rec = _json.loads(line)
+          except ValueError:
+            continue
+          if "val_loss" in rec and rec["val_loss"] < best_val:
+            best_val = rec["val_loss"]
+    loggers[0].write({"resumed_from_epoch": last, "best_val": best_val})
   rng = jax.random.PRNGKey(seed + 999)
   step = 0
-  for epoch in range(num_epochs):
+  for epoch in range(start_epoch, num_epochs):
     losses = []
     t0 = time.time()
     loader = epoch_loader(epoch)

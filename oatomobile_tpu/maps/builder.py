@@ -461,6 +461,18 @@ def build_town(name: str, spec: NetworkSpec) -> TownMap:
       offset = float(_det_hash(name, node, "o") * 2 * (TL_GREEN + TL_YELLOW))
       axis = ins[0]["yaw"]
       for ap in ins:
+        # DIAGONAL approaches (30-60 deg off the junction's principal
+        # axis, e.g. the 5th arm of a 5-way) get NO light: a two-phase
+        # controller would hand them a protected green that conflicts
+        # with one axis no matter the group (measured: the Town03
+        # 5-way's -140 deg arm in group 0 tangled with the E-W green
+        # every cycle and crawled BusyTown7/9 to 90% timeouts).
+        # Unsignalised, its traffic yields on entry via the standard
+        # crossing-mover rules and enters on phase-switch gaps, with
+        # patience assertion preventing starvation.
+        rel = (ap["yaw"] - axis) % (np.pi / 2)
+        if np.deg2rad(30) < rel < np.deg2rad(60):
+          continue
         u_in = np.array([np.cos(ap["yaw"]), np.sin(ap["yaw"])])
         pole = (np.asarray(ap["xy"]) +
                 (LANE_OFFSET + LANE_WIDTH) * _right(u_in))

@@ -177,7 +177,7 @@ _CACHE_DIR = os.environ.get(
     "OATOMOBILE_TPU_MAP_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "oatomobile_tpu", "maps"))
 
-_CACHE_VERSION = 8
+_CACHE_VERSION = 9
 
 
 def _cache_path(name: str) -> str:

@@ -224,10 +224,22 @@ def autopilot_policy(
   asserting = state.hero_wait > 120
   effective_mover = jnp.where(asserting, graded_stop, mover_stop)
   hazard = effective_mover | static_stop | red
-  held = mover_stop & (state.hero_speed < 0.5) & ~static_stop & ~red
+  # LEAKY patience: hazards in breathing stop-and-go traffic flicker
+  # on/off every few steps, and the graded envelope keeps the held
+  # vehicle creeping above any strict speed gate — a reset-to-zero
+  # counter NEVER reaches its threshold (measured: assert_creep fired
+  # 0.0% of steps across a BusyTown9 episode whose longest slow streak
+  # was 93% mover-hold).  Accumulate while mover-held below creep
+  # speed, PAUSE at reds/queues (those are legitimately un-assertable
+  # waits, but they shouldn't erase earned patience mid-crawl), and
+  # decay 5x when actually moving, so real progress clears it fast.
+  held = mover_stop & (state.hero_speed < 1.5) & ~static_stop & ~red
+  pause = (static_stop | red) & (state.hero_speed < 1.5)
   hero_wait = jnp.where(
       (asserting & mover_stop) | held,
-      jnp.minimum(state.hero_wait + 1, jnp.int32(100000)), jnp.int32(0))
+      jnp.minimum(state.hero_wait + 1, jnp.int32(100000)),
+      jnp.where(pause, state.hero_wait,
+                jnp.maximum(state.hero_wait - 5, jnp.int32(0))))
 
   # NOTE: a junction-yield rule (brake before entering an occupied
   # junction) was evaluated on the CARNOVEL sweep and *hurt* both success

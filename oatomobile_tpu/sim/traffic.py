@@ -288,10 +288,17 @@ def npc_step(params: WorldParams, state: SceneState,
   asserting = state.npc_wait > patience
   effective_hard = jnp.where(asserting, graded_hard, mover_hard)
   blocked = effective_hard | static_stop
-  held = mover_hard & (speed < 0.5) & ~static_stop & ~red
+  # Leaky patience (mirrors sim/autopilot.py): accumulate while
+  # mover-held below creep speed, pause at reds/queues, decay 5x when
+  # moving — a reset-to-zero counter never fires in breathing
+  # stop-and-go traffic.
+  held = mover_hard & (speed < 1.5) & ~static_stop & ~red
+  pause = (static_stop | red) & (speed < 1.5)
   npc_wait = jnp.where(
       (asserting & mover_hard) | held,
-      jnp.minimum(state.npc_wait + 1, jnp.int32(100000)), jnp.int32(0))
+      jnp.minimum(state.npc_wait + 1, jnp.int32(100000)),
+      jnp.where(pause, state.npc_wait,
+                jnp.maximum(state.npc_wait - 5, jnp.int32(0))))
 
   conflict = jnp.any(head_on_close, axis=-1)
   evade = -jnp.sign(jnp.sum(jnp.where(head_on_close, jnp.sign(lat_now), 0.0),
@@ -310,12 +317,40 @@ def npc_step(params: WorldParams, state: SceneState,
   new_xy, new_yaw, new_speed = dynamics.bicycle_step(
       xy, yaw, speed, throttle, steer, brake, params.vehicle, params.dt)
 
+  # Tow-away: a vehicle fully stalled for > ~45 s (not at a red) while
+  # INSIDE a junction is despawned.  Circular static waits (each member
+  # stopped for the next one's body) are deadlocks by design -- stopped
+  # blockers are never asserted through -- and one knot at a junction
+  # mouth otherwise plugs the network for the rest of the episode
+  # (measured: BusyTown7/9 timed out 90% of episodes with the whole
+  # 5-way junction gridlocked, scripts/diag_busytown_viz.py).  Dead
+  # NPCs are excluded from collisions, hazards and sensors everywhere
+  # (events.py:88, synth.py, ops/bev.py), so this removes the body.
+  # Thresholds staggered per slot so a knot dissolves one tow at a
+  # time; red-held queues (including queues backed up through a box)
+  # are exempt via the ~red gate.
+  # Leaky stall integrator: breathing knots inch forward every few
+  # seconds, so a consecutive-steps counter never reaches any sane
+  # threshold (measured max 313 over a fully gridlocked episode).
+  # Accumulate while crawling, decay 5x while flowing — a red-cycle
+  # queue (<= 13 s red, then real progress) nets negative per cycle,
+  # a knot (2 steps of motion per 100) nets ~0.9/step.
+  stalled = alive & (speed < 0.5) & ~red
+  npc_stall = jnp.where(
+      stalled, state.npc_stall + 1,
+      jnp.maximum(state.npc_stall - 5, jnp.int32(0)))
+  tow_after = (300.0 + 100.0 * jnp.mod(
+      jnp.arange(K, dtype=jnp.float32) * 0.618034, 1.0)).astype(jnp.int32)
+  towed = at_junction & (npc_stall > tow_after)
+  alive = alive & ~towed
+
   # Dead NPCs stay frozen.
   new_xy = jnp.where(alive[:, None], new_xy, xy)
   new_yaw = jnp.where(alive, new_yaw, yaw)
   new_speed = jnp.where(alive, new_speed, 0.0)
   return state.replace(npc_xy=new_xy, npc_yaw=new_yaw, npc_speed=new_speed,
-                       npc_wp=wp, npc_wait=npc_wait)
+                       npc_wp=wp, npc_wait=npc_wait, npc_stall=npc_stall,
+                       npc_alive=alive)
 
 
 def pedestrian_step(params: WorldParams, state: SceneState,

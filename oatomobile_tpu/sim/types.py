@@ -140,6 +140,15 @@ class SceneState:
   # otherwise never gap and correct yielding degenerates to a timeout.
   hero_wait: jnp.ndarray      # [] i32
   npc_wait: jnp.ndarray       # [K] i32
+  # Consecutive steps an NPC has been fully stalled (speed < 0.3) while
+  # not held at a red light.  Past ~45 s inside a junction the vehicle
+  # is towed away (despawned): circular static waits -- A stopped for
+  # B's body, B for C's, C for A's -- are deadlocks BY DESIGN (stopped
+  # blockers are never asserted through), and a knot at a junction
+  # mouth otherwise plugs the network for the rest of the episode
+  # (scripts/diag_busytown_viz.py).  CARLA's traffic manager handles
+  # stuck vehicles the same way (teleport/destroy).
+  npc_stall: jnp.ndarray      # [K] i32
 
   # --- Agent-side controller state (autopilot / setpoint PID) -----------
   pid_lat: PIDState

@@ -38,6 +38,11 @@ def make_params(town: TownMap,
       vehicle=VehicleSpec(),
       dt=jnp.float32(1.0 / fps),
       npc_target_speed=jnp.float32(npc_target_speed),
+      # 10 s green: swept 10/15/20 on the full BusyTown family (10
+      # eps/task) -- 15 s lifted two saturated-corridor tasks in a
+      # 2-task probe but cost the FAMILY 9 pp (74.5% -> 65.5%): heroes
+      # caught at the longer reds time out more than the discharge
+      # gain buys.  10 s is the measured optimum.
       tl_green=jnp.float32(10.0),
       tl_yellow=jnp.float32(3.0),
       proximity_vehicle_threshold=jnp.float32(10.0),
@@ -236,6 +241,7 @@ def init_scene(
       at_red_prev=jnp.asarray(False),
       hero_wait=jnp.int32(0),
       npc_wait=jnp.zeros((K,), jnp.int32),
+      npc_stall=jnp.zeros((K,), jnp.int32),
       pid_lat=PIDState.zero(),
       pid_lon=PIDState.zero(),
       rng=jax.random.PRNGKey(jax_seed),
@@ -358,6 +364,7 @@ def init_scene_batch(
       at_red_prev=jnp.zeros((B,), bool),
       hero_wait=jnp.zeros((B,), jnp.int32),
       npc_wait=jnp.zeros((B, K), jnp.int32),
+      npc_stall=jnp.zeros((B, K), jnp.int32),
       pid_lat=PIDState.zero_batch(B),
       pid_lon=PIDState.zero_batch(B),
       rng=keys,
