@@ -124,6 +124,29 @@ def train(
   checkpointer = Checkpointer(os.path.join(output_dir, "ckpts"))
   have_val = CARLADataset.is_packed(dataset_dir) and val_fraction > 0
   best_val = float("inf")
+  # Resume from the newest periodic checkpoint (mirrors rip/train.py:
+  # tunneled TPU links can stall mid-run).  Optimiser state restarts;
+  # best_val is recovered from the JSONL log so a post-resume epoch
+  # cannot demote the saved ``best``.
+  start_epoch = 0
+  _last = checkpointer.latest_epoch()
+  if _last is not None:
+    restored = checkpointer.load(_last, jax.device_get(state.params))
+    state = state.replace(params=jax.device_put(restored))
+    if mesh is not None:
+      state = dp.replicate_state(mesh, state)
+    start_epoch = _last + 1
+    import glob as _glob
+    import json as _json
+    for _log in _glob.glob(os.path.join(output_dir, "logs", "*.jsonl")):
+      with open(_log) as fp:
+        for line in fp:
+          try:
+            rec = _json.loads(line)
+          except ValueError:
+            continue
+          if "val_loss" in rec and rec["val_loss"] < best_val:
+            best_val = rec["val_loss"]
   # Device-resident pack: batches become pure device gathers (mode labels
   # derive in-graph in make_context), mirroring dim/train.py.
   resident, resident_n = _load_resident(dataset_dir,
@@ -151,7 +174,7 @@ def train(
                                     batch_size=batch_size, mode=True,
                                     split="val", val_fraction=val_fraction)
 
-  for epoch in range(num_epochs):
+  for epoch in range(start_epoch, num_epochs):
     losses = []
     t0 = time.time()
     loader = epoch_loader(epoch)
