@@ -38,6 +38,8 @@ def plan_to_action(
     warmup_floor: float = 20.0 / 3.6,
     goal: jnp.ndarray = None,
     speed_gain: float = 1.0,
+    stall_recovery: bool = True,
+    red_held: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, SceneState]:
   """Converts an ego-frame plan batch [B, T, 2] into actions [B, 3].
 
@@ -117,6 +119,35 @@ def plan_to_action(
                              jnp.maximum(target_speed, warmup_floor * slow),
                              target_speed)
 
+  # Mid-episode stall recovery: once the car stops, the predicted
+  # displacements collapse (imitation inertia) and speed_gain alone
+  # cannot restart it -- the warmup floor only covers the first 100
+  # steps, so an OOD hesitation (e.g. a hairpin the Town01 training set
+  # never showed) becomes a permanent standstill (measured: RIP-WCM
+  # Hills 92.5% TIMEOUT with only 7.5% collisions).  Cyclic kick via
+  # the SceneState hero_wait counter (unused by learned policies): 5 s
+  # stopped arms a 4 s floor at 2 m/s (<= 8 m of travel, steered by the
+  # goal-fallback setpoint), then 5 s of model control before re-arming
+  # -- if the model stopped for real traffic, its own plan re-brakes
+  # during the pause.  Never kicks while red-held at a light.
+  new_wait = states.hero_wait
+  if stall_recovery:
+    slow_now = states.hero_speed < 1.0
+    blocked_red = red_held if red_held is not None else jnp.zeros(
+        plan.shape[0], bool)
+    # Keep counting through an active kick window (the kick itself
+    # raises speed above the slow gate; resetting there would abort
+    # the window after one step).
+    phase_prev = jnp.mod(states.hero_wait, 140)
+    kicking_prev = (phase_prev > 50) & (phase_prev <= 90)
+    new_wait = jnp.where(
+        (slow_now | kicking_prev) & ~blocked_red & (states.step > 100),
+        states.hero_wait + 1, jnp.int32(0))
+    phase = jnp.mod(new_wait, 140)
+    kick = (phase > 50) & (phase <= 90)
+    target_speed = jnp.where(kick, jnp.maximum(target_speed, 2.0 * slow),
+                             target_speed)
+
   # Ego -> world.
   cos_y = jnp.cos(states.hero_yaw)
   sin_y = jnp.sin(states.hero_yaw)
@@ -146,4 +177,5 @@ def plan_to_action(
     brake = jnp.zeros_like(throttle)
 
   actions = jnp.stack([throttle, steer, brake], axis=-1)
-  return actions, states.replace(pid_lat=pid_lat, pid_lon=pid_lon)
+  return actions, states.replace(pid_lat=pid_lat, pid_lon=pid_lon,
+                                 hero_wait=new_wait)

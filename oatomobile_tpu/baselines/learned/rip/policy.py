@@ -60,9 +60,12 @@ def make_rip_policy(model: ImitativeModel,
                     algorithm=algorithm, num_steps=num_plan_steps, lr=lr,
                     epsilon=epsilon, encoder_dtype=encoder_dtype)
 
+    red_held = ((obs["is_at_traffic_light"] > 0.5) &
+                (obs["traffic_light_state"] < 1.5))  # red/yellow held
     return bridge.plan_to_action(
         world_params, states, plan, setpoint_frac=setpoint_frac,
         use_brake=use_brake, curvature_slowdown=curvature_slowdown,
-        warmup_floor=warmup_floor, goal=goal, speed_gain=speed_gain)
+        warmup_floor=warmup_floor, goal=goal, speed_gain=speed_gain,
+        red_held=red_held)
 
   return policy
