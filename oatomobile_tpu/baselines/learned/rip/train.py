@@ -3,8 +3,12 @@
 The reference trains its K=4 DIMs as separate jobs and loads K checkpoints
 (README.md:55-58).  TPU-native: the ensemble is a stacked-parameter vmap
 axis — K models train *simultaneously* from different seeds on the same
-batches, one fused update per step; on a multi-chip mesh the ensemble axis
-shards over ``mp`` (see parallel/mesh.py).
+batches, one fused update per step.  With more than one device (and
+``use_mesh=True``) the trainer builds a (dp, mp) mesh via
+``parallel.mesh.ensemble_mesh`` and shards the ensemble axis over ``mp``
+and the batch over ``dp`` — the layout ``__graft_entry__.dryrun_multichip``
+dry-runs, now live in the production trainer
+(tests/test_pipeline.py::test_rip_mp_sharded_matches_unsharded).
 
 Run:  python -m oatomobile_tpu.baselines.learned.rip.train \
           --dataset_dir ... --output_dir ... --num_models 4
@@ -26,6 +30,7 @@ from oatomobile_tpu.baselines.learned.dim.train import (MODALITIES,
                                                         make_context)
 from oatomobile_tpu.datasets.carla import CARLADataset
 from oatomobile_tpu.models.dim import ImitativeModel
+from oatomobile_tpu.parallel import mesh as mesh_lib
 from oatomobile_tpu.utils.checkpoint import Checkpointer
 from oatomobile_tpu.utils.loggers import JSONLLogger, TerminalLogger
 
@@ -51,6 +56,7 @@ def train(
     velocity_dropout: float = VELOCITY_DROPOUT,
     device_data: bool = True,
     grad_accum: int = 1,
+    use_mesh: bool = True,
 ):
   """Trains the stacked ensemble; per-epoch held-out val NLL (mean over
   members) selects the ``ensemble-best`` checkpoint.  ``device_data``
@@ -86,6 +92,15 @@ def train(
   micro_batch = batch_size // max(grad_accum, 1)
   opt_state = tx.init(stacked)
 
+  # Multi-chip layout (the one __graft_entry__.dryrun_multichip proves):
+  # ensemble axis over ``mp``, batch over ``dp``.  XLA emits the psum over
+  # dp for each member's gradient and keeps member params chip-local.
+  mesh = (mesh_lib.ensemble_mesh(num_models)
+          if use_mesh and jax.device_count() > 1 else None)
+  if mesh is not None:
+    stacked = mesh_lib.shard_ensemble(mesh, stacked, num_models)
+    opt_state = mesh_lib.shard_ensemble(mesh, opt_state, num_models)
+
   def loss_fn(stacked_params, batch, rng):
     sample, context = make_context(model, batch)
     y = sample["player_future"][..., :2]
@@ -101,17 +116,25 @@ def train(
     return jnp.mean(jax.vmap(member)(stacked_params, rngs))
 
   @jax.jit
-  def update(stacked_params, opt_state, batch, rng):
+  def _update(stacked_params, opt_state, batch, rng):
     loss, grads = jax.value_and_grad(loss_fn)(stacked_params, batch, rng)
     updates, opt_state = tx.update(grads, opt_state, stacked_params)
     return optax.apply_updates(stacked_params, updates), opt_state, loss
+
+  def update(stacked_params, opt_state, batch, rng):
+    if mesh is not None:
+      batch = mesh_lib.shard_batch(mesh, batch)
+    return _update(stacked_params, opt_state, batch, rng)
 
   checkpointer = Checkpointer(os.path.join(output_dir, "ckpts"),
                               prefix="ensemble")
   eval_loss = jax.jit(
       lambda params, batch: loss_fn(params, batch, jax.random.PRNGKey(0)))
   have_val = CARLADataset.is_packed(dataset_dir) and val_fraction > 0
-  resident, resident_n = _load_resident(dataset_dir, device_data)
+  # Resident arrays are single-device; under a mesh, batches must stream
+  # from host and be placed with dp sharding (same rule as dim/train.py).
+  resident, resident_n = _load_resident(dataset_dir,
+                                        device_data and mesh is None)
 
   def epoch_loader(epoch):
     split = "train" if have_val else None
@@ -145,7 +168,9 @@ def train(
   start_epoch = 0
   last = checkpointer.latest_epoch()
   if last is not None:
-    stacked = jax.device_put(checkpointer.load(last, jax.device_get(stacked)))
+    restored = checkpointer.load(last, jax.device_get(stacked))
+    stacked = (mesh_lib.shard_ensemble(mesh, restored, num_models)
+               if mesh is not None else jax.device_put(restored))
     start_epoch = last + 1
     import glob as _glob
     import json as _json
@@ -176,7 +201,11 @@ def train(
     record = {"epoch": epoch, "loss": mean_loss, "models": num_models,
               "sec": round(time.time() - t0, 2), "steps": step}
     if have_val:
-      val_losses = [eval_loss(stacked, batch) for batch in val_loader()]
+      val_losses = [
+          eval_loss(stacked,
+                    mesh_lib.shard_batch(mesh, batch) if mesh is not None
+                    else batch) for batch in val_loader()
+      ]
       if val_losses:
         val = float(jnp.mean(jnp.stack(val_losses)))
         record["val_loss"] = val

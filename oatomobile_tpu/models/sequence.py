@@ -10,8 +10,10 @@ over trajectories, with
     logabsdet = sum_t sum_d log scale_td     (both directions)
 
 The per-step Python loop of the reference (sequence.py:124-151, 184-201)
-becomes a `lax.scan` — one compiled loop, differentiable in both
-directions, vmap-able over batch and ensembles.
+is unrolled over the T=4 decode steps inside one jitted computation
+(setup()-bound flax submodules cannot be called from inside `lax.scan`;
+at T=4 the unroll is also the faster XLA program) — differentiable in
+both directions, vmap-able over batch and ensembles.
 """
 
 from typing import Tuple

@@ -56,3 +56,37 @@ def replicate(mesh: Mesh, tree):
   """Replicates a pytree across the mesh."""
   sharding = NamedSharding(mesh, P())
   return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def ensemble_mesh(num_models: int,
+                  devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+  """(dp, mp) mesh where ``mp`` is sized to divide the ensemble axis.
+
+  Picks the largest divisor of ``num_models`` that also divides the
+  device count, so stacked-parameter pytrees (leading axis K) shard
+  evenly over ``mp`` while the batch shards over ``dp``.  One device →
+  1×1 mesh (annotations become no-ops).
+  """
+  devices = list(devices if devices is not None else jax.devices())
+  n_model = 1
+  for cand in range(min(num_models, len(devices)), 0, -1):
+    if num_models % cand == 0 and len(devices) % cand == 0:
+      n_model = cand
+      break
+  return make_mesh(n_data=len(devices) // n_model, n_model=n_model,
+                   devices=devices)
+
+
+def shard_ensemble(mesh: Mesh, tree, num_models: int):
+  """Places a stacked-ensemble pytree onto the mesh: leaves whose leading
+  axis is the ensemble axis (size ``num_models``) shard over ``mp``;
+  everything else (step counters, scalar optimiser state) replicates."""
+
+  def put(x):
+    if getattr(x, "ndim", 0) >= 1 and x.shape[0] == num_models:
+      spec = P(MODEL_AXIS, *([None] * (x.ndim - 1)))
+    else:
+      spec = P()
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+  return jax.tree.map(put, tree)

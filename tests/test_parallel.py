@@ -112,6 +112,62 @@ def test_batched_env_mesh_matches_unsharded_256():
   assert np.asarray(sa["distance"]).sum() > 0.0
 
 
+def test_ensemble_mp_sharded_matches_unsharded():
+  # VERDICT r3 item 6: the stacked-ensemble layout (K over mp, batch over
+  # dp) must reproduce the single-device update exactly.  Toy stacked
+  # model; the production RIP trainer is covered end-to-end by
+  # test_pipeline.py::test_rip_mp_sharded_matches_unsharded.
+  K = 4
+  rng = np.random.RandomState(1)
+  batch = {
+      "x": jnp.asarray(rng.randn(16, 8), jnp.float32),
+      "y": jnp.asarray(rng.randn(16, 4), jnp.float32),
+  }
+
+  def make_stacked():
+    return {
+        "w": jnp.full((K, 8, 4), 0.1, jnp.float32),
+        "b": jnp.zeros((K, 4)),
+    }
+
+  def loss_fn(stacked, batch):
+    def member(p):
+      pred = batch["x"] @ p["w"] + p["b"]
+      return jnp.mean((pred - batch["y"])**2)
+
+    return jnp.mean(jax.vmap(member)(stacked))
+
+  tx = optax.adam(1e-2)
+
+  @jax.jit
+  def update(stacked, opt_state, batch):
+    loss, grads = jax.value_and_grad(loss_fn)(stacked, batch)
+    updates, opt_state = tx.update(grads, opt_state, stacked)
+    return optax.apply_updates(stacked, updates), opt_state, loss
+
+  # Unsharded reference.
+  s1 = make_stacked()
+  o1 = tx.init(s1)
+  for _ in range(5):
+    s1, o1, l1 = update(s1, o1, batch)
+
+  # (dp=2, mp=4) mesh: ensemble over mp, batch over dp.
+  mesh = mesh_lib.ensemble_mesh(K)
+  assert mesh.shape["mp"] == 4 and mesh.shape["dp"] == 2
+  s8 = mesh_lib.shard_ensemble(mesh, make_stacked(), K)
+  o8 = mesh_lib.shard_ensemble(mesh, tx.init(s8), K)
+  sharded_batch = mesh_lib.shard_batch(mesh, batch)
+  for _ in range(5):
+    s8, o8, l8 = update(s8, o8, sharded_batch)
+
+  # Params stayed mp-sharded through the update.
+  w_sharding = s8["w"].sharding
+  assert w_sharding.spec[0] == mesh_lib.MODEL_AXIS
+  np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(s1["w"]), np.asarray(s8["w"]),
+                             atol=1e-5)
+
+
 def test_dryrun_multichip_full_pipeline(capsys):
   # The graft dryrun runs rollout -> in-graph collect -> sharded ensemble
   # train step; assert all three phases execute and report layouts.

@@ -78,6 +78,26 @@ def test_cil_training_runs(demo_dataset, tmp_path):
   assert int(state.step) >= 1
 
 
+def test_rip_mp_sharded_matches_unsharded(demo_dataset, tmp_path):
+  # VERDICT r3 item 6: the production RIP trainer's (dp, mp) ensemble
+  # layout must reproduce the single-device run.  K=4 over mp=4, batch
+  # over dp=2 on the virtual 8-CPU mesh.
+  from oatomobile_tpu.baselines.learned.rip.train import train
+  kwargs = dict(num_models=4, batch_size=8, num_epochs=1,
+                max_steps_per_epoch=2, val_fraction=0.0,
+                save_model_frequency=1, device_data=False)
+  s_plain = train(demo_dataset, str(tmp_path / "rip_plain"),
+                  use_mesh=False, **kwargs)
+  s_mesh = train(demo_dataset, str(tmp_path / "rip_mesh"),
+                 use_mesh=True, **kwargs)
+  flat_a = jax.tree.leaves(s_plain)
+  flat_b = jax.tree.leaves(s_mesh)
+  assert len(flat_a) == len(flat_b)
+  for a, b in zip(flat_a, flat_b):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_checkpointer_roundtrip(tmp_path):
   from oatomobile_tpu.utils.checkpoint import Checkpointer
   tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
