@@ -132,9 +132,24 @@ def _vehicle_hazard(params: WorldParams, state: SceneState):
   # predicted intercepts are hard stops.
   same_dir_npc = jnp.cos(state.npc_yaw - state.hero_yaw) > 0.5
   follow_target = (blocking & ~moving) | (blocking & moving & same_dir_npc)
-  d_q = jnp.min(jnp.where(follow_target, dist, 1e9))
+  d_masked = jnp.where(follow_target, dist, 1e9)
+  d_q = jnp.min(d_masked)
+  # Inside the 6 m floor the brake holds only while actually CLOSING on
+  # the leader — a follower that has matched a moving leader's speed at
+  # the floor rolls with it instead of full-braking into stop-and-go
+  # (measured: Town02@100 timed-out episodes spent ~45% of late-episode
+  # steps stopped while the NPC network still flowed at ~4 m/s).  The
+  # approach envelope itself keeps ZERO leader-speed credit: a half
+  #-credit variant (v^2 - 0.5 vL^2) was measured and rejected — it
+  # converts the saved time into rear-endings when leaders hazard-brake
+  # harder than the follower's assumed a = 2 (Town02 collisions
+  # 4.0% -> 29.3%).
+  v_leader = jnp.where(d_q < 1e8, state.npc_speed[jnp.argmin(d_masked)],
+                       jnp.float32(0.0))
+  closing = state.hero_speed > v_leader - 0.3
   queue_stop = (state.hero_speed * state.hero_speed >
-                2.0 * 2.0 * jnp.maximum(d_q - 6.0, 0.0)) | (d_q < 6.0)
+                2.0 * 2.0 * jnp.maximum(d_q - 6.0, 0.0)) | \
+      ((d_q < 6.0) & closing)
   # Don't block the box (mirrors traffic.npc_step): hold OUTSIDE a
   # junction whose interior is on the route while a stopped body sits on
   # the path through it, instead of parking 6 m short of it inside the

@@ -243,9 +243,19 @@ def npc_step(params: WorldParams, state: SceneState,
   cross_mover = on_my_path & moving_j & ~same_dir & valid
   follow_target = (blocked_now & ~moving_j & valid) | \
       (on_my_path & moving_j & same_dir & valid)
-  d_q = jnp.min(jnp.where(follow_target, dist_all, 1e9), axis=-1)
+  d_masked = jnp.where(follow_target, dist_all, 1e9)        # [K, K+1]
+  d_q = jnp.min(d_masked, axis=-1)
+  # Inside the 6 m floor the brake holds only while actually CLOSING on
+  # the leader (mirrors sim/autopilot.py — zero leader-speed credit in
+  # the approach envelope; the half-credit variant was measured and
+  # rejected, Town02 collisions 4.0% -> 29.3%).
+  other_speed = jnp.concatenate([speed, state.hero_speed[None]], axis=0)
+  v_leader = jnp.where(d_q < 1e8,
+                       other_speed[jnp.argmin(d_masked, axis=-1)],
+                       jnp.float32(0.0))
+  closing = speed > v_leader - 0.3
   queue_stop = (speed * speed > 2.0 * 2.0 * jnp.maximum(d_q - 6.0, 0.0)) | \
-      (d_q < 6.0)
+      ((d_q < 6.0) & closing)
   # MOVER stops (assertable after a patient wait, mirrors
   # sim/autopilot.py): crossing movers on the path + predicted
   # intercepts, immediate full brake.  The asserting form yields just
