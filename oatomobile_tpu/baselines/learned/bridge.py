@@ -27,6 +27,26 @@ from oatomobile_tpu.sim.types import SceneState, WorldParams
 _PLAN_DT = 1.0  # seconds between downsampled plan points
 
 
+def bev_clear_ahead(lidar: jnp.ndarray,
+                    *,
+                    reach_m: float = 8.0,
+                    half_width_m: float = 1.3,
+                    threshold: float = 0.15) -> jnp.ndarray:
+  """[B] bool: no obstacle return in the forward corridor of the agent's
+  own 200x200x2 BEV observation (channel 1 = above-ground returns;
+  layout per ops/bev.py: rows = forward offsets -50..50 m at 0.505 m/bin,
+  cols = lateral).  The window starts past the hero's own nose (2.5 m)
+  so the test is about OTHER bodies.  Non-privileged: this reads the
+  sensor the model itself consumes, not simulator state."""
+  ppm = 200 / 101.0  # 1 / BIN_WIDTH
+  r0 = int(round((2.5 + 50.0) * ppm))
+  r1 = int(round((reach_m + 50.0) * ppm))
+  c0 = int(round((-half_width_m + 50.0) * ppm))
+  c1 = int(round((half_width_m + 50.0) * ppm)) + 1
+  window = lidar[:, r0:r1, c0:c1, 1]
+  return jnp.max(window, axis=(1, 2)) <= threshold
+
+
 def plan_to_action(
     world_params: WorldParams,
     states: SceneState,
@@ -40,6 +60,7 @@ def plan_to_action(
     speed_gain: float = 1.0,
     stall_recovery: bool = True,
     red_held: jnp.ndarray = None,
+    clear_ahead: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, SceneState]:
   """Converts an ego-frame plan batch [B, T, 2] into actions [B, 3].
 
@@ -115,7 +136,9 @@ def plan_to_action(
   # abnormal turns (measured: crashes cluster at t~95 at exactly floor
   # speed).
   if warmup_floor > 0.0:
-    target_speed = jnp.where(states.step <= 100,
+    floor_ok = (jnp.ones(plan.shape[0], bool) if clear_ahead is None
+                else clear_ahead)
+    target_speed = jnp.where((states.step <= 100) & floor_ok,
                              jnp.maximum(target_speed, warmup_floor * slow),
                              target_speed)
 
@@ -145,6 +168,13 @@ def plan_to_action(
         states.hero_wait + 1, jnp.int32(0))
     phase = jnp.mod(new_wait, 140)
     kick = (phase > 50) & (phase <= 90)
+    # Never kick into an occupied forward corridor: with benchmark-density
+    # traffic the model stops BEHIND QUEUES routinely, and a blind 2 m/s
+    # floor after 5 s parked rams the leader.  ``clear_ahead`` comes from
+    # the agent's OWN BEV observation (non-privileged — see
+    # `bev_clear_ahead`), so a kick only fires toward visibly free space.
+    if clear_ahead is not None:
+      kick = kick & clear_ahead
     target_speed = jnp.where(kick, jnp.maximum(target_speed, 2.0 * slow),
                              target_speed)
 

@@ -111,3 +111,35 @@ def test_speed_gain_scales_target():
                                 warmup_floor=0.0)
   assert float(a2[0, 0]) >= float(a1[0, 0])
   assert float(jnp.max(jnp.abs(a2 - a1))) > 0.0
+
+
+def test_bev_clear_ahead_geometry():
+  """Obstacle-channel returns gate by position: only the forward corridor
+  (past the hero's nose, within reach) blocks."""
+  B = 4
+  lidar = np.zeros((B, 200, 200, 2), np.float32)
+  ppm = 200 / 101.0
+  r = lambda f: int(round((f + 50.0) * ppm))
+  # scene 0: empty.  scene 1: car 5 m dead ahead.  scene 2: car 5 m
+  # BEHIND.  scene 3: car 20 m ahead (outside reach).
+  lidar[1, r(5.0) - 1:r(5.0) + 2, 98:102, 1] = 1.0
+  lidar[2, r(-5.0) - 1:r(-5.0) + 2, 98:102, 1] = 1.0
+  lidar[3, r(20.0) - 1:r(20.0) + 2, 98:102, 1] = 1.0
+  clear = np.asarray(bridge.bev_clear_ahead(jnp.asarray(lidar)))
+  assert clear.tolist() == [True, False, True, True], clear
+
+
+def test_warmup_floor_gated_by_clear_ahead():
+  """The spawn warm-up floor must not push into an occupied forward
+  corridor (a degenerate standstill plan + blocked BEV -> no throttle)."""
+  params, states = _scene_batch()
+  B = 2
+  plan = jnp.zeros((B, 4, 2))
+  goal = jnp.tile(jnp.stack([jnp.arange(1.0, 11.0),
+                             jnp.zeros(10)], axis=-1), (B, 1, 1))
+  blocked = jnp.asarray([False, True])  # scene 0 blocked, scene 1 clear
+  actions, _ = bridge.plan_to_action(params, states, plan, goal=goal,
+                                     clear_ahead=blocked)
+  throttle = np.asarray(actions[:, 0])
+  assert throttle[0] == 0.0, throttle     # blocked: no warm-up push
+  assert throttle[1] > 0.1, throttle      # clear: floor drives off
