@@ -108,8 +108,11 @@ def main():
       log("round {}: collect {} episodes".format(round_i, EPISODES))
       CARLADataset.collect_packed(
           "Town01", chunk_dir, num_episodes=EPISODES, num_steps=500,
-          num_vehicles=4 * round_i, noise=0.2, chunk_episodes=64,
-          image_size=(100, 100), seed=1000 * round_i + 7)
+          # Density ramps to the benchmarks' 100-vehicle traffic so later
+          # rounds add car-following/queueing coverage, not more of the
+          # same free-flow driving.
+          num_vehicles=min(25 * round_i, 100), noise=0.2,
+          chunk_episodes=64, image_size=(100, 100), seed=1000 * round_i + 7)
     chunks.append(chunk_dir)
     dataset_dir = os.path.join(OUT, "dataset_r{}".format(round_i))
     n = CARLADataset.merge_packed(chunks, dataset_dir)
