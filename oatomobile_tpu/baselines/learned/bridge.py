@@ -47,6 +47,43 @@ def bev_clear_ahead(lidar: jnp.ndarray,
   return jnp.max(window, axis=(1, 2)) <= threshold
 
 
+def bev_clear_toward(lidar: jnp.ndarray,
+                     toward_xy: jnp.ndarray,
+                     *,
+                     reach_m: float = 8.0,
+                     half_width_m: float = 1.1,
+                     threshold: float = 0.15,
+                     num_samples: int = 16) -> jnp.ndarray:
+  """[B] bool: the corridor toward an ego-frame target point is free of
+  above-ground returns in the agent's own BEV observation.
+
+  The straight-ahead window (`bev_clear_ahead`) is the wrong question at
+  a bend: a hero stalled mid-hairpin faces a wall dead ahead while the
+  route it would actually steer along (the stall kick follows the
+  goal-fallback setpoint) curls away into free space — measured RIP-WCM
+  Hills: 85% timeout with ZERO collisions because the wall return kept
+  the kick permanently disarmed.  This probes a pixel corridor along the
+  ray to ``toward_xy`` instead: samples at 0.35 m spacing from past the
+  hero's nose (2.5 m) out to ``reach_m``, three lateral offsets each.
+  Still non-privileged — it reads the sensor the model itself consumes.
+  """
+  ppm = 200 / 101.0
+  theta = jnp.arctan2(toward_xy[:, 1], toward_xy[:, 0])       # [B]
+  u = jnp.stack([jnp.cos(theta), jnp.sin(theta)], -1)         # [B, 2]
+  n = jnp.stack([-u[:, 1], u[:, 0]], -1)                      # [B, 2]
+  d = jnp.linspace(2.5, reach_m, num_samples)                 # [S]
+  w = jnp.asarray([-half_width_m, 0.0, half_width_m])         # [3]
+  # [B, S, 3, 2] ego-frame sample points.
+  pts = (d[None, :, None, None] * u[:, None, None, :] +
+         w[None, None, :, None] * n[:, None, None, :])
+  rows = jnp.clip(jnp.round((pts[..., 0] + 50.0) * ppm), 0, 199)
+  cols = jnp.clip(jnp.round((pts[..., 1] + 50.0) * ppm), 0, 199)
+  flat = (rows * 200 + cols).astype(jnp.int32).reshape(lidar.shape[0], -1)
+  above = lidar[..., 1].reshape(lidar.shape[0], -1)           # [B, H*W]
+  vals = jnp.take_along_axis(above, flat, axis=1)             # [B, S*3]
+  return jnp.max(vals, axis=-1) <= threshold
+
+
 def plan_to_action(
     world_params: WorldParams,
     states: SceneState,
@@ -61,6 +98,7 @@ def plan_to_action(
     stall_recovery: bool = True,
     red_held: jnp.ndarray = None,
     clear_ahead: jnp.ndarray = None,
+    bev: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, SceneState]:
   """Converts an ego-frame plan batch [B, T, 2] into actions [B, 3].
 
@@ -87,6 +125,7 @@ def plan_to_action(
   # interpolated index-5 setpoint.
   setpoint_local = ((1.0 - setpoint_frac) * plan[:, 0] +
                     setpoint_frac * plan[:, 1])
+  fallback = None
   if goal is not None:
     plan_reach = jnp.linalg.norm(plan[:, -1], axis=-1)          # [B]
     dist = jnp.linalg.norm(goal, axis=-1)                       # [B, G]
@@ -128,6 +167,30 @@ def plan_to_action(
 
   limit = world_params.map["wp_speed_limit"][states.hero_wp]
   target_speed = jnp.minimum(target_speed, limit)
+
+  # Stall-kick phase (armed by the counter threaded below).  Computed
+  # up front because the kick redirects the SETPOINT as well as the
+  # speed floor: a stalled model's plan is degenerate (points sideways
+  # or curls back on itself), so during the kick window the bridge
+  # steers along the route waypoint (goal fallback) instead.
+  phase_now = jnp.mod(states.hero_wait, 120)
+  phase_kick = (phase_now > 20) & (phase_now <= 100)
+  kick_target = setpoint_local
+  if stall_recovery and fallback is not None:
+    kick_target = jnp.where(phase_kick[:, None], fallback, setpoint_local)
+
+  # Direction-aware corridor: when the raw BEV is available, test
+  # clearance along the ray the floor/kick would actually steer (the
+  # kick's route-fallback ray during a kick window, the tracked
+  # setpoint otherwise) instead of dead ahead.  ``clear_short`` is the
+  # same probe truncated to 4 m: the escalated creep (below) uses it so
+  # a wedged hero still stops 4 m behind a stationary queue leader
+  # while ignoring wall corners the full 8 m ray clips at hairpins.
+  clear_short = None
+  if bev is not None:
+    clear_ahead = bev_clear_toward(bev, kick_target)
+    clear_short = bev_clear_toward(bev, kick_target, reach_m=4.0,
+                                   num_samples=8)
   # Spawn warm-up floor (base.py:165-167): bootstraps motion out of the
   # v=0 regime where the model's predicted displacements collapse.  The
   # floor itself is scaled by the plan-curvature factor — the reference's
@@ -148,11 +211,27 @@ def plan_to_action(
   # steps, so an OOD hesitation (e.g. a hairpin the Town01 training set
   # never showed) becomes a permanent standstill (measured: RIP-WCM
   # Hills 92.5% TIMEOUT with only 7.5% collisions).  Cyclic kick via
-  # the SceneState hero_wait counter (unused by learned policies): 5 s
-  # stopped arms a 4 s floor at 2 m/s (<= 8 m of travel, steered by the
-  # goal-fallback setpoint), then 5 s of model control before re-arming
-  # -- if the model stopped for real traffic, its own plan re-brakes
-  # during the pause.  Never kicks while red-held at a light.
+  # the SceneState hero_wait counter (unused by learned policies):
+  # 1 s stopped arms a 4 s floor at 2.5 m/s steered along the ROUTE
+  # (goal-fallback waypoint -- see ``kick_target`` above), then 1 s
+  # of model control before re-arming -- if the model stopped for real
+  # traffic, its own plan re-brakes during the pause, and the corridor
+  # gate below disarms the kick entirely while anything occupies the
+  # path toward the kick ray.  Three measured iterations on RIP-WCM
+  # Hills (75 s horizon, routes ~300 m, expert needs ~60 s):
+  #   - 2.5s kick @ 2.0*slow / 2.5s pause: ~0.6 m/s while stalled;
+  #     timeouts died at 60% mean route progress, and 73% of the
+  #     "collisions" were NPCs ramming a parked hero.
+  #   - 4s kick @ 2.5*slow / 1.5s pause: the plan-curvature factor is
+  #     the trap -- a standstill plan curls, slow pins at 0.3, and the
+  #     kick crawls at 0.75 m/s through its whole window (trace:
+  #     12.5 s stuck at <1 m/s with kick active).  Progress at horizon
+  #     rose to 70-90% but still timed out.
+  #   - This version: UNSCALED 2.5 m/s floor (the kick ray is the
+  #     route, already curvature-sane at that speed), 1 s arming,
+  #     1 s pause (duty 67% while wedged), and a >12 s-armed creep
+  #     escalation under a 4 m probe.
+  # Never kicks while red-held at a light.
   new_wait = states.hero_wait
   if stall_recovery:
     slow_now = states.hero_speed < 1.0
@@ -161,22 +240,31 @@ def plan_to_action(
     # Keep counting through an active kick window (the kick itself
     # raises speed above the slow gate; resetting there would abort
     # the window after one step).
-    phase_prev = jnp.mod(states.hero_wait, 140)
-    kicking_prev = (phase_prev > 50) & (phase_prev <= 90)
     new_wait = jnp.where(
-        (slow_now | kicking_prev) & ~blocked_red & (states.step > 100),
+        (slow_now | phase_kick) & ~blocked_red & (states.step > 100),
         states.hero_wait + 1, jnp.int32(0))
-    phase = jnp.mod(new_wait, 140)
-    kick = (phase > 50) & (phase <= 90)
-    # Never kick into an occupied forward corridor: with benchmark-density
-    # traffic the model stops BEHIND QUEUES routinely, and a blind 2 m/s
-    # floor after 5 s parked rams the leader.  ``clear_ahead`` comes from
+    phase = jnp.mod(new_wait, 120)
+    kick = (phase > 20) & (phase <= 100)
+    # Never kick into an occupied corridor: with benchmark-density
+    # traffic the model stops BEHIND QUEUES routinely, and a blind floor
+    # after 1 s parked rams the leader.  ``clear_ahead`` comes from
     # the agent's OWN BEV observation (non-privileged — see
-    # `bev_clear_ahead`), so a kick only fires toward visibly free space.
+    # `bev_clear_toward`), so a kick only fires toward visibly free
+    # space.  ESCALATION: after two full cycles without recovery
+    # (hero_wait > 280 means 14 s armed — a queue would have moved) the
+    # hero is wedged where the 8 m ray clips static geometry (traced:
+    # Hills hairpin, kick active, corridor blocked, throttle 0 for
+    # 10 s+).  It then creeps at 1.5 m/s under the 4 m probe instead.
+    kick_speed = jnp.full(plan.shape[0], 2.5, plan.dtype)
     if clear_ahead is not None:
-      kick = kick & clear_ahead
-    target_speed = jnp.where(kick, jnp.maximum(target_speed, 2.0 * slow),
+      wedged = new_wait > 240
+      short = clear_short if clear_short is not None else clear_ahead
+      gate = jnp.where(wedged, short, clear_ahead)
+      kick_speed = jnp.where(wedged, 1.5, kick_speed)
+      kick = kick & gate
+    target_speed = jnp.where(kick, jnp.maximum(target_speed, kick_speed),
                              target_speed)
+    setpoint_local = jnp.where(kick[:, None], kick_target, setpoint_local)
 
   # Ego -> world.
   cos_y = jnp.cos(states.hero_yaw)

@@ -84,6 +84,6 @@ def make_dim_policy(model: ImitativeModel,
         world_params, states, plan, setpoint_frac=setpoint_frac,
         use_brake=use_brake, curvature_slowdown=curvature_slowdown,
         warmup_floor=warmup_floor, goal=goal, speed_gain=speed_gain,
-        red_held=red_held, clear_ahead=bridge.bev_clear_ahead(obs["lidar"]))
+        red_held=red_held, bev=obs["lidar"])
 
   return policy

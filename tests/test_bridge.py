@@ -143,3 +143,55 @@ def test_warmup_floor_gated_by_clear_ahead():
   throttle = np.asarray(actions[:, 0])
   assert throttle[0] == 0.0, throttle     # blocked: no warm-up push
   assert throttle[1] > 0.1, throttle      # clear: floor drives off
+
+
+def test_stall_kick_steers_route_at_full_floor():
+  """Mid-kick the bridge must (a) command the UNSCALED 2.5 m/s floor —
+  the plan-curvature factor pinned the old kick at 0.75 m/s crawl when
+  the standstill plan curled — and (b) steer along the route fallback,
+  not the degenerate plan."""
+  params, states = _scene_batch()
+  B = 2
+  # Sharply curling plan with healthy reach (3.5 m > 2 m: the plain
+  # standstill fallback does NOT trigger; only the kick redirects).
+  plan = jnp.tile(jnp.asarray([[1.0, 0.0], [1.5, 1.5],
+                               [1.0, 3.0], [0.0, 3.5]]), (B, 1, 1))
+  goal = jnp.tile(jnp.stack([jnp.arange(1.0, 11.0),
+                             jnp.zeros(10)], axis=-1), (B, 1, 1))
+  bev = jnp.zeros((B, 200, 200, 2))
+  armed = states.replace(hero_wait=jnp.full(B, 40, jnp.int32),
+                         step=jnp.full(B, 200, jnp.int32))
+  idle = states.replace(step=jnp.full(B, 200, jnp.int32))
+  a_kick, _ = bridge.plan_to_action(params, armed, plan, goal=goal,
+                                    bev=bev, warmup_floor=0.0)
+  a_idle, _ = bridge.plan_to_action(params, idle, plan, goal=goal,
+                                    bev=bev, warmup_floor=0.0)
+  # Unscaled floor: the kick pushes hard from rest; idle barely moves
+  # (curling plan -> slow=0.3 scales the plan-derived target down).
+  assert float(a_kick[0, 0]) > 0.5, a_kick
+  # Route steering: the kick tracks the straight-ahead goal ray while
+  # the idle bridge steers into the curling plan.
+  assert abs(float(a_kick[0, 1])) < 0.3, a_kick
+  assert abs(float(a_idle[0, 1])) > abs(float(a_kick[0, 1])), (a_idle,
+                                                               a_kick)
+
+
+def test_bev_clear_toward_follows_ray():
+  """The direction-aware corridor probes along the ray to the setpoint:
+  a wall dead ahead must not block a kick that steers away from it
+  (the measured Hills hairpin standstill), while an obstacle ON the ray
+  must."""
+  B = 3
+  lidar = np.zeros((B, 200, 200, 2), np.float32)
+  ppm = 200 / 101.0
+  r = lambda f: int(round((f + 50.0) * ppm))
+  # 4 m-wide wall face 5 m dead ahead (lateral -1.5..2.5 m) in scenes 0
+  # and 1.  Scene 2: obstacle on the diagonal ray instead.
+  lidar[0, r(5.0) - 1:r(5.0) + 2, 96:104, 1] = 1.0
+  lidar[1, r(5.0) - 1:r(5.0) + 2, 96:104, 1] = 1.0
+  lidar[2, r(4.0) - 2:r(4.0) + 3, r(4.0) - 2:r(4.0) + 3, 1] = 1.0
+  toward = jnp.asarray([[8.0, 0.0],    # straight at the wall: blocked
+                        [5.0, 5.0],    # 45 deg away from it: clear
+                        [5.0, 5.0]])   # 45 deg into the diagonal car
+  clear = np.asarray(bridge.bev_clear_toward(jnp.asarray(lidar), toward))
+  assert clear.tolist() == [False, True, False], clear
