@@ -262,6 +262,12 @@ def plan_to_action(
       gate = jnp.where(wedged, short, clear_ahead)
       kick_speed = jnp.where(wedged, 1.5, kick_speed)
       kick = kick & gate
+    # (An angle-scaled kick floor — creep when the route ray demands a
+    # hard turn, to cut the off-road share of BusyTown collisions — was
+    # A/B-tested and REVERTED: bicycle-model path curvature is
+    # speed-independent, so it fixed nothing in BusyTown (45% vs 44%
+    # collision) and cost Hills 15 pp of success by slowing hairpin
+    # recovery.)
     target_speed = jnp.where(kick, jnp.maximum(target_speed, kick_speed),
                              target_speed)
     setpoint_local = jnp.where(kick[:, None], kick_target, setpoint_local)
