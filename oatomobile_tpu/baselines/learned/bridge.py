@@ -287,6 +287,21 @@ def plan_to_action(
           p, xy, yaw, t, world_params.dt))(states.pid_lat,
                                            states.hero_xy,
                                            states.hero_yaw, target_xy)
+  # Standstill steering clamp: a queued hero (kick disarmed by the
+  # occupied corridor) saturates the lateral PID on a setpoint it cannot
+  # reach, and the model's residual throttle pulses then CRAB it
+  # sideways — traced on Town01_Straight4: 6 s at v<0.5 with steer
+  # pinned +1.00, yaw drifting +0.11 -> +0.55 until a corner clipped
+  # the queue neighbour 5.9 m away.  Below 0.5 m/s (and outside a kick
+  # window, which needs full steering authority to restart along the
+  # route) steering is clamped to +-0.25: enough to hold a lane arc,
+  # not enough to walk the car sideways at a standstill.  (A full
+  # linear fade-to-zero below 0.7 m/s was A/B-tested and REVERTED: it
+  # also killed legitimate creeping junction turns — Town01_Straight
+  # 52% -> 41%.)
+  if stall_recovery:
+    clamped = jnp.clip(steer, -0.25, 0.25)
+    steer = jnp.where(kick | (states.hero_speed >= 0.5), steer, clamped)
   if use_brake:
     throttle, brake, pid_lon = jax.vmap(
         lambda p, v, t: dynamics.longitudinal_control_with_brake(

@@ -76,8 +76,11 @@ def test_degenerate_plan_steers_along_route():
   steer = np.asarray(actions[:, 1])
   assert np.all(np.abs(steer) < 0.3), steer
   # Without goals (no fallback) the same plan saturates the steer —
-  # guards that the fallback is actually doing the work.
-  actions_nofb, _ = bridge.plan_to_action(params, states, plan)
+  # guards that the fallback is actually doing the work.  (Run the
+  # control above the standstill steering clamp's 0.5 m/s gate so the
+  # PID saturation stays observable.)
+  moving = states.replace(hero_speed=jnp.full(B, 1.0))
+  actions_nofb, _ = bridge.plan_to_action(params, moving, plan)
   assert np.any(np.abs(np.asarray(actions_nofb[:, 1])) > 0.8)
 
 
