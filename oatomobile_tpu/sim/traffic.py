@@ -351,7 +351,17 @@ def npc_step(params: WorldParams, state: SceneState,
       jnp.maximum(state.npc_stall - 5, jnp.int32(0)))
   tow_after = (300.0 + 100.0 * jnp.mod(
       jnp.arange(K, dtype=jnp.float32) * 0.618034, 1.0)).astype(jnp.int32)
-  towed = at_junction & (npc_stall > tow_after)
+  # Second tier: standing jams ANYWHERE dissolve after ~2x the junction
+  # threshold.  Town02@100 diagnostic (scripts/diag_town02.py at r4 HEAD):
+  # 20.9% of the network stalled at t=1500 and 78/99 hero timeouts were
+  # slow-moving queues at 75% route progress — the knots that seed them
+  # are not always inside a junction polygon (mid-block box-parked chains,
+  # junction-mouth spillback one car short of the box).  Red-held queues
+  # still never accumulate: the leaky integrator nets negative over a red
+  # cycle (<= 13 s red, then real progress), so only permanent jams reach
+  # 60-70 s of net stall.
+  towed = (at_junction & (npc_stall > tow_after)) | \
+      (npc_stall > 2 * tow_after)
   alive = alive & ~towed
 
   # Dead NPCs stay frozen.
