@@ -160,6 +160,26 @@ class TownMap:
       cur = np.where(cur >= 0, self.wp_next[safe, 0].astype(np.int64), cur)
     return out
 
+  def wp_tl_ahead(self, length: int = 20) -> np.ndarray:
+    """[W] i32: id of the first traffic light governing any waypoint on
+    the next-``length`` first-successor chain (self included), -1 if
+    none.  The per-waypoint governed zone spans only the last ~5 m of
+    each approach, so a queue follower 3+ cars back at a saturated
+    light stands on UNgoverned waypoints — this array lets the tow-away
+    stall integrator (sim/traffic.py) recognise 'I am queued for that
+    red light 40 m ahead' with a single gather and pause instead of
+    accumulating toward a despawn (ADVICE r4: legitimately queued NPCs
+    were towed after 2-3 slow-discharge cycles)."""
+    W = self.wp_xy.shape[0]
+    out = np.full((W,), -1, np.int32)
+    cur = np.arange(W, dtype=np.int64)
+    for _ in range(length):
+      safe = np.maximum(cur, 0)
+      tl = self.wp_tl[safe].astype(np.int32)
+      out = np.where((out < 0) & (cur >= 0), tl, out)
+      cur = np.where(cur >= 0, self.wp_next[safe, 0].astype(np.int64), cur)
+    return out
+
   def device_arrays(self) -> dict:
     """Returns (and caches) the jnp pytree of map arrays used in-graph."""
     if self._device is None:
@@ -180,6 +200,7 @@ class TownMap:
               self.wp_npc_ok if self.wp_npc_ok is not None else
               np.ones(len(self.wp_xy), bool)),
           wp_tl=jnp.asarray(self.wp_tl, dtype=jnp.int32),
+          wp_tl_ahead=jnp.asarray(self.wp_tl_ahead(), dtype=jnp.int32),
           spawn_wp=jnp.asarray(self.spawn_wp, dtype=jnp.int32),
           tl_xy=jnp.asarray(self.tl_xy, dtype=jnp.float32),
           tl_group=jnp.asarray(self.tl_group, dtype=jnp.int32),

@@ -287,11 +287,15 @@ def npc_step(params: WorldParams, state: SceneState,
   red = governed & (tl_state != TL_GREEN)
 
   # Patience-based yield assertion (mirrors sim/autopilot.py): after
-  # ~6-9 s held at a yield by moving cross traffic, creep in at
+  # ~3-4.5 s held at a yield by moving cross traffic, creep in at
   # <= 1.5 m/s under the graded envelope — the crossers' own hazard
   # rules yield to the now-moving body.  Thresholds are staggered per
   # slot (golden-ratio stride) so whole queues don't assert in lockstep.
   # Red lights and queue/box rules are never asserted through.
+  # NPC patience at 3-4.5 s (halved, matching the hero's A/B) was
+  # measured and REJECTED: Town02x3 collisions 4.9% -> 8.0% with
+  # timeouts flat (41.8% -> 41.3%) — lockstep-asserting NPCs trade
+  # junction waits for junction conflicts.  6-9 s stands.
   static_stop = queue_stop | box_hold
   patience = (120.0 + 60.0 * jnp.mod(
       jnp.arange(K, dtype=jnp.float32) * 0.618034, 1.0)).astype(jnp.int32)
@@ -342,10 +346,26 @@ def npc_step(params: WorldParams, state: SceneState,
   # Leaky stall integrator: breathing knots inch forward every few
   # seconds, so a consecutive-steps counter never reaches any sane
   # threshold (measured max 313 over a fully gridlocked episode).
-  # Accumulate while crawling, decay 5x while flowing — a red-cycle
-  # queue (<= 13 s red, then real progress) nets negative per cycle,
-  # a knot (2 steps of motion per 100) nets ~0.9/step.
-  stalled = alive & (speed < 0.5) & ~red
+  # Accumulate while crawling, decay 5x while flowing.
+  # Signal-queue exemption (ADVICE r4): the per-waypoint governed zone
+  # covers only the last ~5 m of each approach, so `red` alone exempts
+  # just the front 1-2 vehicles — followers 3+ cars back at a saturated
+  # light netted positive stall over slow-discharge cycles and were
+  # towed while legitimately queued.  wp_tl_ahead (maps/assets.py) names
+  # the light governing any waypoint in the next ~40 m of lane; while it
+  # is non-green the wait is a signal queue, not a jam, and the
+  # integrator pauses.  While it is GREEN but the queue still cannot
+  # move (spillback through the junction), stall accumulates at
+  # half-cycle rate, so genuine standing jams near lights still dissolve
+  # — at ~2x the time constant.
+  num_lights = tl_states.shape[0]
+  tl_ahead = params.map["wp_tl_ahead"][wp]
+  if num_lights:
+    red_ahead = (tl_ahead >= 0) & (
+        tl_states[jnp.clip(tl_ahead, 0, num_lights - 1)] != TL_GREEN)
+  else:
+    red_ahead = jnp.zeros((K,), bool)
+  stalled = alive & (speed < 0.5) & ~red & ~red_ahead
   npc_stall = jnp.where(
       stalled, state.npc_stall + 1,
       jnp.maximum(state.npc_stall - 5, jnp.int32(0)))
@@ -356,12 +376,17 @@ def npc_step(params: WorldParams, state: SceneState,
   # 20.9% of the network stalled at t=1500 and 78/99 hero timeouts were
   # slow-moving queues at 75% route progress — the knots that seed them
   # are not always inside a junction polygon (mid-block box-parked chains,
-  # junction-mouth spillback one car short of the box).  Red-held queues
-  # still never accumulate: the leaky integrator nets negative over a red
-  # cycle (<= 13 s red, then real progress), so only permanent jams reach
-  # 60-70 s of net stall.
+  # junction-mouth spillback one car short of the box).
+  # Hero-blocked exemption (ADVICE r4): a vehicle held directly by the
+  # HERO's body on its path keeps its queue semantics — benchmarks must
+  # see traffic pile up behind a stopped hero (CARLA never despawns
+  # stalled actors), so direct hero blockers are never second-tier
+  # towed.  Deeper followers (blocked by a blocked NPC) remain towable
+  # after ~60-80 s net stall; that residual divergence from CARLA is
+  # accepted and documented here.
+  hero_blocking = on_my_path[:, K]
   towed = (at_junction & (npc_stall > tow_after)) | \
-      (npc_stall > 2 * tow_after)
+      (~hero_blocking & (npc_stall > 2 * tow_after))
   alive = alive & ~towed
 
   # Dead NPCs stay frozen.
