@@ -14,6 +14,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from oatomobile_tpu.baselines.learned.dim.train import (VELOCITY_DROPOUT,
@@ -85,6 +86,7 @@ def train(
     val_fraction: float = 0.05,
     velocity_dropout: float = VELOCITY_DROPOUT,
     device_data: bool = True,
+    oversample_restarts: int = 3,
 ) -> dp.TrainState:
   """Runs L1 behavioural-cloning training.
 
@@ -152,11 +154,24 @@ def train(
   resident, resident_n = _load_resident(dataset_dir,
                                         device_data and mesh is None)
 
+  # Stopped->restart oversampling (see dim/train.py + datasets/carla.py
+  # restart_transition_indices): anti-inertia at the data level.
+  restart_idx = np.zeros((0,), np.int64)
+  if oversample_restarts > 0 and resident is not None:
+    _split2 = "train" if have_val else None
+    _train_idx = CARLADataset.packed_split_indices(
+        resident_n, _split2, val_fraction=val_fraction)
+    restart_idx = np.intersect1d(
+        CARLADataset.restart_transition_indices(dataset_dir), _train_idx)
+
   def epoch_loader(epoch):
     split = "train" if have_val else None
     if resident is not None:
       idx = CARLADataset.packed_split_indices(resident_n, split,
                                               val_fraction=val_fraction)
+      if len(restart_idx):
+        idx = np.concatenate(
+            [idx] + [restart_idx] * oversample_restarts)
       return CARLADataset.iter_device_batches(resident, idx, batch_size,
                                               seed=seed + epoch)
     return CARLADataset.make_loader(

@@ -131,6 +131,7 @@ def train(
     velocity_dropout: float = VELOCITY_DROPOUT,
     device_data: bool = True,
     input_size=(100, 100),
+    oversample_restarts: int = 3,
 ) -> dp.TrainState:
   """Runs training; returns the final TrainState.
 
@@ -195,11 +196,26 @@ def train(
   resident, resident_n = _load_resident(dataset_dir,
                                         device_data and mesh is None)
 
+  # Stopped->restart oversampling (imitation-inertia counter-measure,
+  # datasets/carla.py restart_transition_indices): tile the rare
+  # "standing but the expert pulls away" samples into every epoch so the
+  # restart behaviour is trained, not just the cruise behaviour.
+  restart_idx = np.zeros((0,), np.int64)
+  if oversample_restarts > 0 and resident is not None:
+    split = "train" if have_val else None
+    train_idx = CARLADataset.packed_split_indices(
+        resident_n, split, val_fraction=val_fraction)
+    restart_idx = np.intersect1d(
+        CARLADataset.restart_transition_indices(dataset_dir), train_idx)
+
   def epoch_loader(epoch):
     split = "train" if have_val else None
     if resident is not None:
       idx = CARLADataset.packed_split_indices(resident_n, split,
                                               val_fraction=val_fraction)
+      if len(restart_idx):
+        idx = np.concatenate(
+            [idx] + [restart_idx] * oversample_restarts)
       return CARLADataset.iter_device_batches(resident, idx, batch_size,
                                               seed=seed + epoch)
     return CARLADataset.make_loader(

@@ -20,6 +20,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from oatomobile_tpu.baselines.learned.dim.train import (MODALITIES,
@@ -57,6 +58,7 @@ def train(
     device_data: bool = True,
     grad_accum: int = 1,
     use_mesh: bool = True,
+    oversample_restarts: int = 3,
 ):
   """Trains the stacked ensemble; per-epoch held-out val NLL (mean over
   members) selects the ``ensemble-best`` checkpoint.  ``device_data``
@@ -136,11 +138,24 @@ def train(
   resident, resident_n = _load_resident(dataset_dir,
                                         device_data and mesh is None)
 
+  # Stopped->restart oversampling (see dim/train.py + datasets/carla.py
+  # restart_transition_indices): anti-inertia at the data level.
+  restart_idx = np.zeros((0,), np.int64)
+  if oversample_restarts > 0 and resident is not None:
+    _split = "train" if have_val else None
+    _train_idx = CARLADataset.packed_split_indices(
+        resident_n, _split, val_fraction=val_fraction)
+    restart_idx = np.intersect1d(
+        CARLADataset.restart_transition_indices(dataset_dir), _train_idx)
+
   def epoch_loader(epoch):
     split = "train" if have_val else None
     if resident is not None:
       idx = CARLADataset.packed_split_indices(resident_n, split,
                                               val_fraction=val_fraction)
+      if len(restart_idx):
+        idx = np.concatenate(
+            [idx] + [restart_idx] * oversample_restarts)
       return CARLADataset.iter_device_batches(resident, idx, micro_batch,
                                               seed=seed + epoch)
     return CARLADataset.make_loader(

@@ -802,6 +802,33 @@ class CARLADataset(Dataset):
     return (np.sort(perm[:-num_val]) if split == "train"
             else np.sort(perm[-num_val:]))
 
+  @staticmethod
+  def restart_transition_indices(packed_dir: str,
+                                 speed_thresh: float = 1.0,
+                                 move_thresh: float = 2.0) -> np.ndarray:
+    """Indices of stopped->restart samples in a packed dataset: ego speed
+    below ``speed_thresh`` m/s while the expert's future leaves a
+    ``move_thresh``-metre disc (ego frame, so |future[-1]| is total
+    displacement over the plan horizon).
+
+    Imitation-inertia counter-measure at the DATA level: closed-loop
+    learned agents stall because v~0 states whose label says "go" are a
+    sliver of on-policy driving data (most v~0 frames are red lights and
+    queue holds where the label is also ~0), so the restart behaviour is
+    under-trained and the policy's own stop becomes absorbing.  Trainers
+    tile these indices ``oversample_restarts`` extra times into the epoch
+    order — a pure sampling change, no new data and no bridge heuristics.
+    Reads only the two small modalities via mmap; never touches images.
+    """
+    vel = np.load(os.path.join(packed_dir, "velocity.npy"), mmap_mode="r")
+    fut = np.load(os.path.join(packed_dir, "player_future.npy"),
+                  mmap_mode="r")
+    speed = np.linalg.norm(np.asarray(vel[:, :2], dtype=np.float32),
+                           axis=-1)
+    disp = np.linalg.norm(np.asarray(fut[:, -1, :2], dtype=np.float32),
+                          axis=-1)
+    return np.where((speed < speed_thresh) & (disp > move_thresh))[0]
+
   @classmethod
   def load_packed_to_device(cls, packed_dir: str,
                             modalities: Optional[Sequence[str]] = None):

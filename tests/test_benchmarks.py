@@ -115,3 +115,56 @@ def test_evaluate_batched_multi_episode(tmp_path):
   summary = json.load(open(os.path.join(out, "summary.json")))["summary"]
   assert summary["episodes"] == 3
   assert "per_family" in summary and "success_ci95" in summary
+
+
+def test_evaluate_batched_learned_rip_all_aggregators(tmp_path):
+  """Locks the learned-agent eval protocol (VERDICT r4 item 7): a RIP
+  policy — random-init stacked ensemble, each of the three aggregators —
+  driven through `evaluate_batched` must yield the exact summary schema
+  + per-family decomposition the sweep scripts and results publishers
+  consume, so table-generation can't silently drift from the tested
+  path."""
+  import json
+  import jax
+  import jax.numpy as jnp
+  from oatomobile_tpu.baselines.learned.rip.policy import make_rip_policy
+  from oatomobile_tpu.benchmarks.batched_eval import evaluate_batched
+  from oatomobile_tpu.models.dim import ImitativeModel
+
+  K = 2
+  model = ImitativeModel(output_shape=(4, 2))
+  ctx = dict(visual_features=jnp.zeros((1, 100, 100, 2)),
+             velocity=jnp.zeros((1, 3)),
+             is_at_traffic_light=jnp.zeros((1, 1)),
+             traffic_light_state=jnp.zeros((1, 1)))
+  one = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 2)),
+                   method=model.log_prob, **ctx)
+  stacked = jax.tree.map(lambda x: jnp.stack([x] * K, 0), one)
+
+  tasks = {
+      "Town02_Straight0-v0": {"town": "Town02", "origin": 10,
+                              "destination": 40, "num_vehicles": 2,
+                              "num_pedestrians": 0},
+      "Town02_Turn0-v0": {"town": "Town02", "origin": 5,
+                          "destination": 60, "num_vehicles": 2,
+                          "num_pedestrians": 0},
+  }
+  for algorithm in ("WCM", "MA", "BCM"):
+    policy = make_rip_policy(model, stacked, algorithm=algorithm,
+                             num_plan_steps=2)
+    out = str(tmp_path / "eval_{}".format(algorithm))
+    results = evaluate_batched(tasks, policy_fn=policy, horizon=8,
+                               num_episodes=2, seed=3, log_dir=out)
+    assert set(results) == set(tasks)
+    for row in results.values():
+      assert len(row["episodes"]) == 2
+    summary = json.load(open(os.path.join(out, "summary.json")))["summary"]
+    for key in ("success_rate", "success_ci95", "collision_rate",
+                "timeout_rate", "episodes", "per_family"):
+      assert key in summary, (algorithm, key)
+    assert summary["episodes"] == 4
+    assert set(summary["per_family"]) == {"Town02_Straight", "Town02_Turn"}
+    for fam in summary["per_family"].values():
+      assert fam["episodes"] == 2
+      for rate in ("success_rate", "collision_rate", "timeout_rate"):
+        assert 0.0 <= fam[rate] <= 1.0
